@@ -1,0 +1,199 @@
+"""Obstacle contact: analytic primitive tests + dry-friction projection.
+
+TPU-native replacement for the reference's virtual `Primitive::isInContact`
+dispatch (Primitive.cpp:67-130 plane, :221-261 sphere, :570-602 capsule) and
+the Signorini–Coulomb friction projection
+(`calcualteDryFrictionForce`, Simulation.cpp:829-862).
+
+Primitives are described by a fixed-size array-of-structs so that one
+vectorized kernel tests every particle against every primitive.  The contact
+set produced here is FROZEN for a whole PD step (detection happens once, at
+iteration 0 — Simulation.cpp:1254) which is what makes a fixed-shape masked
+representation exact, not an approximation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# primitive type codes
+P_SPHERE = 0
+P_PLANE = 1
+P_CAPSULE = 2
+P_BOWL = 3
+
+
+class PrimitiveSet(NamedTuple):
+    """Array-of-structs for up to P primitives (static scene data)."""
+    kind: jnp.ndarray        # (P,) int32
+    center: jnp.ndarray      # (P,3)
+    velocity: jnp.ndarray    # (P,3)
+    radius: jnp.ndarray      # (P,) sphere/capsule/bowl radius
+    length: jnp.ndarray      # (P,) capsule length
+    axis_rot: jnp.ndarray    # (P,3,3) rotation: capsule local -> world
+    plane_normal: jnp.ndarray  # (P,3)
+    plane_upper_left: jnp.ndarray   # (P,3) relative to center
+    plane_upper_right: jnp.ndarray  # (P,3)
+    rotates: jnp.ndarray     # (P,) bool — rotating-sphere velocity field
+    mu: jnp.ndarray          # (P,) default friction (used unless optimized)
+    enabled: jnp.ndarray     # (P,) bool
+
+
+def empty_primitive_set(dtype=jnp.float32) -> PrimitiveSet:
+    z = lambda *s: jnp.zeros(s, dtype)
+    return PrimitiveSet(
+        kind=jnp.zeros((0,), jnp.int32), center=z(0, 3), velocity=z(0, 3),
+        radius=z(0), length=z(0), axis_rot=jnp.zeros((0, 3, 3), dtype),
+        plane_normal=z(0, 3), plane_upper_left=z(0, 3),
+        plane_upper_right=z(0, 3), rotates=jnp.zeros((0,), bool),
+        mu=z(0), enabled=jnp.zeros((0,), bool))
+
+
+class ContactSet(NamedTuple):
+    """Frozen per-particle obstacle-contact data for one step."""
+    mask: jnp.ndarray      # (n,) bool
+    normal: jnp.ndarray    # (n,3)
+    v_out: jnp.ndarray     # (n,3)
+    prim_id: jnp.ndarray   # (n,) int32 (0 when no contact — masked)
+
+
+def _safe_normalize(v, eps=1e-12):
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / jnp.maximum(n, eps)
+
+
+def _sphere_test(prims: PrimitiveSet, j, pos):
+    """reference: Sphere::isInContact (Primitive.cpp:221-261);
+    COLLISION_EPSILON = 0.1; rotating spheres add (0,1,0) x n * 8 to v_out."""
+    rel = pos - prims.center[j]
+    dist = jnp.linalg.norm(rel, axis=-1) - prims.radius[j]
+    normal = _safe_normalize(rel)
+    hit = dist < 0.1
+    v_out = prims.velocity[j] + jnp.where(
+        prims.rotates[j],
+        jnp.cross(jnp.array([0.0, 1.0, 0.0], pos.dtype), normal) * 8.0,
+        0.0)
+    return hit, normal, dist, v_out
+
+
+def _plane_test(prims: PrimitiveSet, j, pos):
+    """reference: Plane::isInContact (Primitive.cpp:67-130).
+    Bounded rectangle; COLLISION_EPSILON = 0.4, thickness 5.  The rare
+    edge-tolerance branch (edgeTol=5e-4, :106-127) is dropped — it fires only
+    within half a millimetre of the rectangle border."""
+    rel = pos - prims.center[j]
+    nrm = prims.plane_normal[j]
+    d = jnp.einsum("...d,d->...", rel, nrm)
+    ul = prims.plane_upper_left[j]
+    ur = prims.plane_upper_right[j]
+    # in-plane coordinates along the two (orthogonal-ish) half-edges
+    proj = rel - d[..., None] * nrm
+    eu = _safe_normalize(ul + ur)   # not exact for skewed planes; demo planes
+    ev = _safe_normalize(ur - ul)   # are rectangles so this is exact
+    half_u = jnp.abs(jnp.dot(ul + ur, eu)) / 2 + jnp.abs(jnp.dot(ul - ur, eu)) / 2
+    half_v = jnp.abs(jnp.dot(ur - ul, ev)) / 2 + jnp.abs(jnp.dot(ur + ul, ev)) / 2
+    cu = jnp.einsum("...d,d->...", proj, eu)
+    cv = jnp.einsum("...d,d->...", proj, ev)
+    inside = (jnp.abs(cu) <= half_u) & (jnp.abs(cv) <= half_v)
+    hit = inside & (jnp.abs(d) <= 0.4)
+    normal = jnp.where((d < -0.4)[..., None], -nrm, nrm) * jnp.ones_like(pos)
+    return hit, normal, d, jnp.broadcast_to(prims.velocity[j], pos.shape)
+
+
+def _capsule_test(prims: PrimitiveSet, j, pos):
+    """Point-vs-capsule: segment from center along rotated local +y with given
+    length (reference: Capsule::isInContact, Primitive.cpp:570-602)."""
+    rot = prims.axis_rot[j]
+    base = prims.center[j]
+    tip_dir = rot @ jnp.array([0.0, 1.0, 0.0], pos.dtype)
+    rel = pos - base
+    t = jnp.clip(jnp.einsum("...d,d->...", rel, tip_dir), 0.0,
+                 prims.length[j])
+    closest = base + t[..., None] * tip_dir
+    dvec = pos - closest
+    dist = jnp.linalg.norm(dvec, axis=-1) - prims.radius[j]
+    hit = dist < 0.1
+    return hit, _safe_normalize(dvec), dist, jnp.broadcast_to(
+        prims.velocity[j], pos.shape)
+
+
+def _bowl_test(prims: PrimitiveSet, j, pos):
+    """Inside-of-sphere contact (reference: Bowl::isInContact,
+    Primitive.cpp:362+): the surface is the sphere interior."""
+    rel = pos - prims.center[j]
+    r = jnp.linalg.norm(rel, axis=-1)
+    dist = prims.radius[j] - r
+    hit = dist < 0.1
+    normal = -_safe_normalize(rel)
+    return hit, normal, dist, jnp.broadcast_to(prims.velocity[j], pos.shape)
+
+
+_TESTS = [_sphere_test, _plane_test, _capsule_test, _bowl_test]
+
+
+def detect_obstacle_contacts(prims: PrimitiveSet, x: jnp.ndarray,
+                             v: jnp.ndarray, h: float) -> ContactSet:
+    """Per-particle first-hit test against every primitive at t, t+h/2, t+h
+    (reference: isInContactWithObstacle, Simulation.cpp:153-191; the first
+    colliding primitive in index order wins)."""
+    n = x.shape[0]
+    P = prims.kind.shape[0]
+    mask = jnp.zeros((n,), bool)
+    normal = jnp.zeros_like(x)
+    v_out = jnp.zeros_like(x)
+    prim_id = jnp.zeros((n,), jnp.int32)
+    if P == 0:
+        return ContactSet(mask, normal, v_out, prim_id)
+    for j in range(P):  # static unroll over the (few) primitives
+        kind = int(prims.kind[j])
+        test = _TESTS[kind]
+        hit_any = jnp.zeros((n,), bool)
+        nrm_j = jnp.zeros_like(x)
+        vout_j = jnp.zeros_like(x)
+        for dt in (0.0, 0.5 * h, h):  # swept three-sample test
+            hit, nrm, _, vo = test(prims, j, x + v * dt)
+            take = hit & (~hit_any)
+            nrm_j = jnp.where(take[:, None], nrm, nrm_j)
+            vout_j = jnp.where(take[:, None], vo, vout_j)
+            hit_any = hit_any | hit
+        hit_any = hit_any & prims.enabled[j]
+        new = hit_any & (~mask)   # earlier primitive wins
+        mask = mask | new
+        normal = jnp.where(new[:, None], nrm_j, normal)
+        v_out = jnp.where(new[:, None], vout_j, v_out)
+        prim_id = jnp.where(new, j, prim_id)
+    return ContactSet(mask, normal, v_out, prim_id)
+
+
+# ---------------------------------------------------------------------------
+# dry friction (Signorini–Coulomb projection)
+
+def dry_friction_force(normal, d, mu):
+    """r(n, d, mu) — take-off / stick / slide case split
+    (reference: calcualteDryFrictionForce, Simulation.cpp:829-862).
+    Batched over leading dims; written with double-where so autodiff through
+    the slide branch is NaN-free."""
+    sd = jnp.sum(d * normal, axis=-1, keepdims=True)      # signed normal mag
+    fN = normal * sd
+    fT = d - fN
+    tnorm = jnp.linalg.norm(fT, axis=-1, keepdims=True)
+    safe_t = jnp.maximum(tnorm, 1e-12)
+    t_hat = fT / safe_t
+    in_contact = sd < 0.0
+    stick = tnorm <= mu[..., None] * jnp.abs(sd)
+    r_stick = -fN - fT
+    r_slide = -fN - mu[..., None] * jnp.abs(sd) * t_hat
+    r = jnp.where(stick, r_stick, r_slide)
+    return jnp.where(in_contact, r, 0.0)
+
+
+def obstacle_friction(f, contact: ContactSet, mass, mu_prims):
+    """Layer-0 obstacle friction: r_i = friction(n_i, f_i - m_i v_out, mu)
+    (reference: calculateDryFrictionVector, Simulation.cpp:639-651)."""
+    d = f - mass[:, None] * contact.v_out
+    mu = mu_prims[contact.prim_id]
+    r = dry_friction_force(contact.normal, d, mu)
+    return jnp.where(contact.mask[:, None], r, 0.0)

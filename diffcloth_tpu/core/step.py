@@ -1,0 +1,331 @@
+"""The differentiable PD step: forward local–global loop + implicit adjoint.
+
+Forward: velocity-based projective dynamics with dry frictional contact
+(Ly et al. 2020 formulation), mirroring `Simulation::step`
+(Simulation.cpp:1043-1428):
+
+    s_n      = x_n + h v_n + h^2 M^{-1} f_ext                     (:1098)
+    loop:    p = project(x_now)                                   (:1198)
+             b = h^2 A^T p + M s_n                                (:1222)
+             b~ = (b - P x_n)/h ;  f = b~ - C v_now               (:1248-1249)
+             r = dry_friction(f)  [contact set frozen at iter 0]  (:1254-1258)
+             v_new = P^{-1}(b~ + r);  x_new = x_n + h v_new       (:1267-1268)
+    converged when |x_new - x_now|/n < eps, best-iterate revert at the
+    iteration cap (:1323-1374).
+
+Backward: `jax.custom_vjp` implementing the Du et al. adjoint
+(`Simulation::stepBackward`, Simulation.cpp:1455-1780) by implicit
+differentiation of the residual
+
+    R(v_new; x_n, v_n, theta, x_fixed) = P v_new - b~(x_new) - r(f) = 0.
+
+The adjoint lambda solves (dR/dv_new)^T lambda = w with w = v_bar + h x_bar
+(this *is* the reference scheme: their per-step fold `dL_dx += dL_dv/h`
+[:1615] makes their solve rhs equal w/h, with u* = lambda/h).  The fixed-point
+iteration lambda <- P^{-1}(w + (P - dR/dv)^T lambda) reuses the constant
+prefactorization exactly as the reference reuses its forward LLT factor
+(:1569-1599).  All Jacobian-transpose products — projection Jacobians
+(Triangle.cpp:354-451, TriangleBending.cpp:154-172), contact Jacobians
+(Simulation.cpp:686-919), and every parameter chain rule (:1622-1764) — are
+replaced by a single `jax.vjp` of the residual.
+
+The system matrix lives on the vertex graph: P is (n,n), states are (n,3),
+so the global solve is a P^{-1} @ (n,3) matmul that maps straight onto the
+MXU and batches over vmapped rollouts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffcloth_tpu.config import GRAVITY, SimFlags, WindConfig, pd_total_iters
+from diffcloth_tpu.core import constraints as cons
+from diffcloth_tpu.core import contact as ct
+from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev, StepRecord
+
+
+def _solve(p_inv, rhs):
+    """P^{-1} @ rhs at full f32 precision.  On TPU, XLA lowers f32 matmuls to
+    bf16 MXU passes by default; the PD solve is the accuracy-critical op (its
+    noise floor sets the reachable convergence threshold), so force
+    HIGHEST (3-pass f32) here and keep the default for everything else."""
+    return jnp.matmul(p_inv, rhs, precision=jax.lax.Precision.HIGHEST)
+
+
+class StepAux(NamedTuple):
+    f: jnp.ndarray
+    r: jnp.ndarray
+    converged: jnp.ndarray
+    iters: jnp.ndarray
+    avg_deformation: jnp.ndarray
+
+
+def _avg_deformation(scene: SceneDev, x):
+    """Total current area / total rest area (Simulation.cpp:34-43)."""
+    if scene.tri_idx.shape[0] == 0:
+        return jnp.asarray(1.0, x.dtype)
+    p0 = x[scene.tri_idx[:, 0]]
+    p1 = x[scene.tri_idx[:, 1]]
+    p2 = x[scene.tri_idx[:, 2]]
+    area = 0.5 * jnp.linalg.norm(jnp.cross(p1 - p0, p2 - p0), axis=-1)
+    return jnp.sum(area) / jnp.sum(scene.tri_area).astype(x.dtype)
+
+
+def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
+              *, h: float, wind_config: WindConfig, flags: SimFlags,
+              eps_forward: float, eps_backward: float,
+              max_forward_iters: Optional[int] = None):
+    """Build the custom-VJP PD step for one attachment stage.
+
+    Topology tensors (scene/stage/prims) are baked as trace-time constants;
+    `p_inv` is a traced argument so parameter resets (which refactorize P,
+    Simulation.cpp:3490-3584) do NOT trigger recompilation.
+    """
+    n = int(scene.area.shape[0])
+    max_iter = max_forward_iters or flags.max_forward_iters or \
+        pd_total_iters(eps_forward)
+    max_back = flags.max_backward_iters
+    h2 = h * h
+    gravity = jnp.asarray(GRAVITY)
+
+    # -- shared pieces ------------------------------------------------------
+
+    def wind_factor(params: SimParams, t, step_idx):
+        """(sin(freq t + phase)+1)/2 and friends (fillForces,
+        Simulation.cpp:62-85)."""
+        if wind_config in (WindConfig.WIND_SIN, WindConfig.WIND_SIN_AND_FALLOFF):
+            return (jnp.sin(params.wind_freq * t + params.wind_phase) + 1.0) / 2.0
+        if wind_config == WindConfig.NO_WIND:
+            return jnp.asarray(0.0, params.wind.dtype)
+        if wind_config == WindConfig.WIND_FACTOR_PER_STEP:
+            # step_idx travels as float so every custom-vjp input is
+            # differentiable-typed; the gather itself carries the gradient
+            # to wind_perstep.
+            return params.wind_perstep[jnp.asarray(step_idx, jnp.int32)]
+        return jnp.asarray(1.0, params.wind.dtype)  # WIND_CONSTANT
+
+    def external_force(params: SimParams, mass, t, step_idx):
+        """f_ext per particle (fillForces, Simulation.cpp:55-116)."""
+        f = jnp.zeros((n, 3), mass.dtype)
+        if flags.gravity_enabled:
+            f = f + gravity.astype(mass.dtype) * mass[:, None]
+        wf = wind_factor(params, t, step_idx)
+        if flags.wind_enabled and wind_config != WindConfig.NO_WIND:
+            wind_f = params.wind * wf
+            if wind_config in (WindConfig.WIND_SIN_AND_FALLOFF,
+                               WindConfig.WIND_FACTOR_PER_STEP):
+                f = f + wind_f[None, :] * scene.wind_falloff
+            else:
+                f = f + wind_f[None, :]
+        if flags.constant_forcefield_enabled:
+            f = f + params.force_field
+        return f, wf
+
+    def masses(params: SimParams):
+        return params.density * scene.area  # M = rho * Area (:2931-2937)
+
+    def s_target(params, x_n, v_n, t, step_idx):
+        m = masses(params)
+        f_ext, wf = external_force(params, m, t, step_idx)
+        s_n = x_n + h * v_n + h2 * f_ext / m[:, None]
+        return s_n, m, wf
+
+    def friction(params, contact: ct.ContactSet, m, f):
+        if not flags.contact_enabled or prims.kind.shape[0] == 0:
+            return jnp.zeros_like(f)
+        return ct.obstacle_friction(f, contact, m, params.mu)
+
+    def btilde_of(params, m, f_ext, x_n, v_n, x_eval, x_fixed):
+        """b~ = (h^2 A^T p + M s_n - P x_n)/h computed in residual form
+
+            b~ = h * sum_t k_t A0_t^T (p0_t - A0_t x_n) + m v_n + h f_ext
+
+        — algebraically identical (s_n - x_n = h v_n + h^2 f_ext/m and
+        P = M + h^2 A^T A) but free of the large-term cancellation that
+        floors f32 convergence for energetic states, and cheaper (no
+        separate P x_n / M s_n products)."""
+        p_s, p_b, p_a = cons.all_projections(scene, stage, x_eval, x_fixed)
+        d_s = p_s - cons.apply_rows(scene.s_rows_idx, scene.s_rows_w, x_n)
+        d_b = p_b - cons.apply_rows(scene.b_rows_idx, scene.b_rows_w, x_n)
+        d_a = p_a - cons.apply_rows(stage.attach_idx, stage.attach_w, x_n)
+        At_d = cons.apply_At_p(scene, stage, params.k_pertype,
+                               d_s, d_b, d_a, n)
+        return h * At_d + m[:, None] * v_n + h * f_ext
+
+    def residual(v_new, x_n, v_n, params, x_fixed, contact, t, step_idx):
+        """R(v_new) = P v_new - b~ - r, all parameter dependence explicit
+        (operator form) so one jax.vjp yields every gradient the reference
+        hand-derives in stepBackward (:1622-1764)."""
+        m = masses(params)
+        f_ext, _ = external_force(params, m, t, step_idx)
+        x_new = x_n + h * v_new
+        btilde = btilde_of(params, m, f_ext, x_n, v_n, x_new, x_fixed)
+        Cv = h2 * cons.apply_AtA(scene, stage, params.k_pertype, v_new)
+        f = btilde - Cv
+        r = friction(params, contact, m, f)
+        Pv = m[:, None] * v_new + Cv
+        return Pv - btilde - r
+
+    def apply_P(params, u):
+        m = masses(params)
+        return m[:, None] * u + h2 * cons.apply_AtA(
+            scene, stage, params.k_pertype, u)
+
+    # -- forward PD loop ----------------------------------------------------
+
+    def pd_forward(x_n, v_n, params, x_fixed, p_inv, t, step_idx):
+        s_n, m, wf = s_target(params, x_n, v_n, t, step_idx)
+        f_ext, _ = external_force(params, m, t, step_idx)
+
+        v_iter0 = (s_n - x_n) / h
+        if flags.contact_enabled and prims.kind.shape[0] > 0:
+            contact = ct.detect_obstacle_contacts(prims, x_n, v_iter0, h)
+        else:
+            contact = ct.ContactSet(
+                mask=jnp.zeros((n,), bool), normal=jnp.zeros_like(x_n),
+                v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
+
+        def one_iter(x_now, v_now):
+            btilde = btilde_of(params, m, f_ext, x_n, v_n, x_now, x_fixed)
+            f = btilde - h2 * cons.apply_AtA(scene, stage, params.k_pertype,
+                                             v_now)
+            r = friction(params, contact, m, f)
+            v_new = _solve(p_inv, btilde + r)
+            x_new = x_n + h * v_new
+            return x_new, v_new, f, r
+
+        class Carry(NamedTuple):
+            x_now: jnp.ndarray
+            v_now: jnp.ndarray
+            it: jnp.ndarray
+            min_xd: jnp.ndarray
+            best_x: jnp.ndarray
+            best_v: jnp.ndarray
+            done: jnp.ndarray
+            strict: jnp.ndarray
+            since_best: jnp.ndarray
+            f: jnp.ndarray
+            r: jnp.ndarray
+
+        x_start = s_n                      # loop starts from the inertia
+        v_start = v_iter0                  # target (Simulation.cpp:1154-1160)
+        init = Carry(
+            x_now=x_start, v_now=v_start,
+            it=jnp.asarray(0, jnp.int32),
+            min_xd=jnp.linalg.norm(s_n - x_n) / n,   # :1173
+            best_x=x_n, best_v=v_n, done=jnp.asarray(False),
+            strict=jnp.asarray(False),
+            since_best=jnp.asarray(0, jnp.int32),
+            f=jnp.zeros_like(x_n), r=jnp.zeros_like(x_n))
+
+        def cond(c: Carry):
+            return jnp.logical_and(~c.done, c.it < max_iter)
+
+        # In f32 the iteration settles into a rounding-scale limit cycle
+        # whose amplitude tracks the state energy; once the best iterate has
+        # not improved for PLATEAU_WINDOW sweeps there is no more progress
+        # available at this precision, so stopping at the best iterate is
+        # lossless.  (f64 runs hit eps first; the reference never needs this
+        # because it is all-f64.)
+        PLATEAU_WINDOW = 12
+
+        def body(c: Carry):
+            x_new, v_new, f, r = one_iter(c.x_now, c.v_now)
+            xd = jnp.linalg.norm(x_new - c.x_now) / n
+            better = xd < c.min_xd
+            since = jnp.where(better, 0, c.since_best + 1)
+            strict = xd < eps_forward
+            return Carry(
+                x_now=x_new, v_now=v_new, it=c.it + 1,
+                min_xd=jnp.minimum(xd, c.min_xd),
+                best_x=jnp.where(better, x_new, c.best_x),
+                best_v=jnp.where(better, v_new, c.best_v),
+                done=jnp.logical_or(strict, since >= PLATEAU_WINDOW),
+                strict=strict, since_best=since, f=f, r=r)
+
+        out = jax.lax.while_loop(cond, body, init)
+        converged = out.done
+        # strict convergence keeps the last iterate; plateau/cap exit reverts
+        # to the best converging iterate (Simulation.cpp:1357-1367)
+        x_new = jnp.where(out.strict, out.x_now, out.best_x)
+        v_new = jnp.where(out.strict, out.v_now, out.best_v)
+        aux = StepAux(f=out.f, r=out.r, converged=converged, iters=out.it,
+                      avg_deformation=_avg_deformation(scene, x_new))
+        return x_new, v_new, aux, contact
+
+    # -- custom VJP ---------------------------------------------------------
+
+    @jax.custom_vjp
+    def step(x, v, params, x_fixed, p_inv, t, step_idx):
+        x_new, v_new, aux, _ = pd_forward(x, v, params, x_fixed, p_inv,
+                                          t, step_idx)
+        return x_new, v_new, aux
+
+    def step_fwd(x, v, params, x_fixed, p_inv, t, step_idx):
+        x_new, v_new, aux, contact = pd_forward(x, v, params, x_fixed, p_inv,
+                                                t, step_idx)
+        res = (x, v, v_new, params, x_fixed, contact, p_inv, t, step_idx)
+        return (x_new, v_new, aux), res
+
+    def step_bwd(res, cots):
+        x_n, v_n, v_new, params, x_fixed, contact, p_inv, t, step_idx = res
+        x_bar, v_bar, _aux_bar = cots
+
+        # total cotangent on v_new: x_new = x_n + h v_new
+        w = v_bar + h * x_bar
+        if flags.gradient_clipping:
+            # reference clips the folded gradient dL_dx = w/h at
+            # threshold * n_particles (Simulation.cpp:1460-1466)
+            norm = jnp.linalg.norm(w) / h
+            cap = flags.gradient_clipping_threshold * n
+            scale = jnp.where(norm > cap, cap / jnp.maximum(norm, 1e-30), 1.0)
+            w = w * scale
+
+        _, vjp_v = jax.vjp(
+            lambda vn: residual(vn, x_n, v_n, params, x_fixed, contact,
+                                t, step_idx), v_new)
+
+        def fp_cond(c):
+            lam, lam_prev, it, done = c
+            return jnp.logical_and(~done, it < max_back)
+
+        def fp_body(c):
+            lam, _, it, _ = c
+            # lambda <- P^{-1} (w + P lambda - (dR/dv)^T lambda)
+            rhs = w + apply_P(params, lam) - vjp_v(lam)[0]
+            lam_next = _solve(p_inv, rhs)
+            # reference convergence: |u_k - u_{k-1}|/n < eps_b with u = lam/h
+            delta = jnp.linalg.norm(lam_next - lam) / (n * h)
+            return (lam_next, lam, it + 1, delta < eps_backward)
+
+        lam0 = _solve(p_inv, w)
+        lam, _, back_iters, back_ok = jax.lax.while_loop(
+            fp_cond, fp_body, (lam0, jnp.zeros_like(lam0),
+                               jnp.asarray(1, jnp.int32),
+                               jnp.asarray(False)))
+        # NOTE: the reference falls back to a direct SparseLU solve on
+        # non-convergence (Simulation.cpp:1590-1594). A GMRES fallback slots
+        # in here; in practice the fixed point converges for all demo scenes.
+
+        _, vjp_rest = jax.vjp(
+            lambda xn, vn, pr, xf: residual(v_new, xn, vn, pr, xf, contact,
+                                            t, step_idx),
+            x_n, v_n, params, x_fixed)
+        gx, gv, gp, gxf = vjp_rest(lam)
+
+        x_bar_out = x_bar - gx
+        v_bar_out = -gv
+        params_bar = jax.tree.map(lambda g: -g, gp)
+        xf_bar = -gxf
+        p_inv_bar = jnp.zeros_like(p_inv)
+        t_bar = jnp.zeros_like(t)
+        idx_bar = jnp.zeros_like(step_idx)
+        return (x_bar_out, v_bar_out, params_bar, xf_bar, p_inv_bar,
+                t_bar, idx_bar)
+
+    step.defvjp(step_fwd, step_bwd)
+    return step, residual

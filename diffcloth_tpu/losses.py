@@ -1,0 +1,139 @@
+"""Task loss library — all eight reference loss types as differentiable
+functions of the stacked episode records.
+
+reference: `Simulation::calculateLossAndGradient` (Simulation.cpp:3238-3488).
+Analytic dL/dx, dL/dv are unnecessary here: each loss is a plain jnp function
+of the (N+1, n, 3) trajectories and autodiff injects per-frame cotangents
+into the scan reverse pass exactly where the reference adds dL_dxinit /
+dL_dvinit (Simulation.cpp:3948).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffcloth_tpu.config import LossType
+from diffcloth_tpu.core.types import StepRecord
+
+
+@dataclasses.dataclass(frozen=True)
+class LossInfo:
+    """reference: Simulation.h LossInfo (:247-256).  Targets are host
+    numpy/jnp arrays captured at task-setup time."""
+    target_x: Optional[jnp.ndarray] = None          # (N+1, n, 3)
+    target_v: Optional[jnp.ndarray] = None          # (N+1, n, 3)
+    target_frame_shape: Tuple[Tuple[int, jnp.ndarray], ...] = ()
+    target_translation: Optional[jnp.ndarray] = None  # (3,)
+    x_init: Optional[jnp.ndarray] = None            # (n,3) for WITH_TRANSLATION
+    target_twirl_height: float = 0.0
+    loop_points: Optional[jnp.ndarray] = None       # (L,) int32
+    rest_min: Optional[jnp.ndarray] = None
+    rest_max: Optional[jnp.ndarray] = None
+    rest_mid: Optional[jnp.ndarray] = None
+    # ASSISTED_DRESSING_KEYPOINTS: per keypoint (frame_idx, target_pos,
+    # candidate particle indices padded to equal length with -1)
+    keypoint_frames: Optional[jnp.ndarray] = None   # (K,) int32
+    keypoint_targets: Optional[jnp.ndarray] = None  # (K,3)
+    keypoint_candidates: Optional[jnp.ndarray] = None  # (K,C) int32, -1 pad
+
+
+def match_trajectory(recs: StepRecord, info: LossInfo):
+    """L = 1/(N*n) sum_i |x_i - x*_i|^2 (Simulation.cpp:3247-3278)."""
+    N, n = recs.x.shape[0], recs.x.shape[1]
+    k = 1.0 / (N * n)
+    d = recs.x - info.target_x.astype(recs.x.dtype)
+    return k * jnp.sum(d * d)
+
+
+def match_velocity(recs: StepRecord, info: LossInfo):
+    """Simulation.cpp:3280-3311."""
+    N, n = recs.v.shape[0], recs.v.shape[1]
+    k = 1.0 / (N * n)
+    d = recs.v - info.target_v.astype(recs.v.dtype)
+    return k * jnp.sum(d * d)
+
+
+def match_trajectory_max(recs: StepRecord, info: LossInfo):
+    """Max-over-frames variant (Simulation.cpp:3313-3341)."""
+    n = recs.x.shape[1]
+    d = recs.x - info.target_x.astype(recs.x.dtype)
+    per_frame = jnp.sum(d * d, axis=(1, 2)) / n
+    return jnp.max(per_frame)
+
+
+def dress_angle(recs: StepRecord, info: LossInfo):
+    """Twirl-height loss on the dress hem loop points
+    (Simulation.cpp:3343-3376)."""
+    target_h = info.rest_min[1] + \
+        (info.rest_max[1] - info.rest_min[1]) * info.target_twirl_height
+    pts = recs.x[-1][info.loop_points]          # (L,3)
+    k = 1.0 / info.loop_points.shape[0]
+    dy = pts[:, 1] - target_h
+    return k * jnp.sum(dy * dy)
+
+
+def matchshape_translation_invariant(recs: StepRecord, info: LossInfo):
+    """Translation-free last-frame shape match (Simulation.cpp:3378-3402)."""
+    n = recs.x.shape[1]
+    tgt = info.target_x if info.target_x.ndim == 2 else info.target_x[-1]
+    tgt = tgt - tgt[0:1]
+    cur = recs.x[-1] - recs.x[-1][0:1]
+    d = cur - tgt.astype(cur.dtype)
+    return jnp.sum(d * d) / n
+
+
+def multistep_matchshape(recs: StepRecord, info: LossInfo):
+    """Per-chosen-frame shape targets (Simulation.cpp:3404-3420)."""
+    n = recs.x.shape[1]
+    L = 0.0
+    for frame_idx, shape in info.target_frame_shape:
+        d = recs.x[frame_idx] - shape.astype(recs.x.dtype)
+        L = L + jnp.sum(d * d) / n
+    return L
+
+
+def matchshape_with_translation(recs: StepRecord, info: LossInfo):
+    """x_target = x_init + translation, matched at the last frame
+    (Simulation.cpp:3422-3438)."""
+    n = recs.x.shape[1]
+    tgt = info.x_init.astype(recs.x.dtype) + \
+        info.target_translation.astype(recs.x.dtype)[None, :]
+    d = recs.x[-1] - tgt
+    return jnp.sum(d * d) / n
+
+
+def assisted_dressing_keypoints(recs: StepRecord, info: LossInfo):
+    """Max-distance keypoint matching (Simulation.cpp:3440-3475): for each
+    (frame, target, candidate set), penalize the *farthest* candidate."""
+    K = info.keypoint_frames.shape[0]
+    xs = recs.x[info.keypoint_frames]                      # (K, n, 3)
+    cand = info.keypoint_candidates                        # (K, C)
+    valid = cand >= 0
+    pos = jnp.take_along_axis(
+        xs, jnp.maximum(cand, 0)[:, :, None], axis=1)      # (K, C, 3)
+    d2 = jnp.sum((pos - info.keypoint_targets[:, None, :].astype(
+        pos.dtype)) ** 2, axis=-1)                         # (K, C)
+    d2 = jnp.where(valid, d2, -jnp.inf)
+    return jnp.sum(jnp.max(d2, axis=1)) / K
+
+
+_DISPATCH = {
+    LossType.MATCH_TRAJECTORY: match_trajectory,
+    LossType.MATCH_VELOCITY: match_velocity,
+    LossType.MATCH_TRAJECTORY_MAX: match_trajectory_max,
+    LossType.DRESS_ANGLE: dress_angle,
+    LossType.MATCHSHAPE_TRANSLATION_INVARIANT: matchshape_translation_invariant,
+    LossType.MULTISTEP_MATCHSHAPE: multistep_matchshape,
+    LossType.MATCHSHAPE_WITH_TRANSLATION: matchshape_with_translation,
+    LossType.ASSISTED_DRESSING_KEYPOINTS: assisted_dressing_keypoints,
+}
+
+
+def make_loss_fn(loss_type: LossType, info: LossInfo
+                 ) -> Callable[[StepRecord], jnp.ndarray]:
+    fn = _DISPATCH[loss_type]
+    return lambda recs: fn(recs, info)

@@ -1,0 +1,182 @@
+"""Adjoint-vs-finite-difference gradient parity — the reference's own oracle.
+
+reference: `finiteDifferenceBackward` / `calculateFiniteDiffLossArr`
+(Simulation.cpp:3587-3786): central differences with delta=1e-6 at tightened
+forward convergence, compared against the analytic adjoint per parameter
+class.  Here the adjoint is the custom-VJP implicit solve (core/step.py) and
+FD uses the same f64 CPU pipeline.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffcloth_tpu.config import (AttachmentConfig, FabricConfig,
+                                  PrimitiveConfig, SceneConfig, SimFlags,
+                                  TrajectoryConfig, WindConfig, SplineType)
+from diffcloth_tpu.core.sim import ClothSim
+from diffcloth_tpu.geometry import builder as gb
+from diffcloth_tpu import losses
+
+
+def make_sim(steps=6, trajectory=TrajectoryConfig.NO_TRAJECTORY,
+             wind=WindConfig.WIND_SIN, grid=4):
+    fab = FabricConfig(cloth_dim_x=1.5, cloth_dim_y=1.5,
+                       k_stiff_stretching=300.0, k_stiff_bending=0.08,
+                       grid_num_x=grid, grid_num_y=grid, density=0.3)
+    cfg = SceneConfig(
+        fabric=fab, attachment_points=AttachmentConfig.LEFT_RIGHT_CORNERS_2,
+        trajectory=trajectory, primitive_config=PrimitiveConfig.NONE,
+        wind_config=wind, time_step=1.0 / 60.0, step_num=steps,
+        forward_convergence_thresh=1e-11,
+        backward_convergence_thresh=1e-8, name="gradcheck")
+    scene = gb.build_scene(cfg)
+    # disable clipping so FD and adjoint see the identical objective
+    flags = SimFlags(wind_enabled=(wind != WindConfig.NO_WIND),
+                     gradient_clipping=False)
+    return ClothSim(scene, dtype=jnp.float64, flags=flags,
+                    spline_type=SplineType.ENDPOINT_AND_TANGENTS)
+
+
+def target_records(sim, params):
+    """Synthesize a ground-truth trajectory with perturbed params."""
+    recs = sim.rollout(params)
+    return jax.tree.map(lambda a: jax.lax.stop_gradient(a), recs)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sim = make_sim()
+    p_gt = sim.default_params()
+    p_gt = p_gt._replace(wind=jnp.array([0.4, 0.1, 0.3]),
+                         wind_freq=jnp.asarray(10.0),
+                         wind_phase=jnp.asarray(0.5))
+    gt = sim.rollout(p_gt)
+    from diffcloth_tpu.config import LossType
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.x))
+    loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg = sim.episode_value_and_grad(loss_fn)
+
+    # evaluation point: off-groundtruth guess
+    p0 = sim.default_params()
+    p0 = p0._replace(wind=jnp.array([0.25, 0.05, 0.2]),
+                     wind_freq=jnp.asarray(12.0),
+                     wind_phase=jnp.asarray(0.1))
+
+    def loss_of(params):
+        p_inv = sim.p_inv(params)
+        recs = sim.simulate(params, p_inv, sim.x_fixed_seq(params))
+        return float(loss_fn(recs))
+
+    return sim, vg, p0, loss_of
+
+
+def central_diff(loss_of, params, path, idx, delta):
+    def bump(sign):
+        leaf = getattr(params, path)
+        leaf2 = leaf.at[idx].add(sign * delta) if leaf.ndim else \
+            leaf + sign * delta
+        return params._replace(**{path: leaf2})
+    return (loss_of(bump(+1)) - loss_of(bump(-1))) / (2 * delta)
+
+
+def check(loss_of, params, grads, path, indices, delta=1e-6, rtol=2e-3,
+          atol=1e-10):
+    g = getattr(grads, path)
+    for idx in indices:
+        fd = central_diff(loss_of, params, path, idx, delta)
+        ad = float(g[idx]) if g.ndim else float(g)
+        assert np.isclose(fd, ad, rtol=rtol, atol=max(atol, 1e-7 * abs(fd))), \
+            f"{path}[{idx}]: fd={fd:.10g} adjoint={ad:.10g}"
+
+
+def test_loss_positive_at_guess(setup):
+    sim, vg, p0, loss_of = setup
+    L, _ = vg(p0)
+    assert float(L) > 0
+
+
+def test_grad_wind_vector(setup):
+    sim, vg, p0, loss_of = setup
+    _, g = vg(p0)
+    check(loss_of, p0, g, "wind", [(0,), (1,), (2,)], delta=1e-6)
+
+
+def test_grad_wind_freq_phase(setup):
+    sim, vg, p0, loss_of = setup
+    _, g = vg(p0)
+    check(loss_of, p0, g, "wind_freq", [()], delta=1e-6)
+    check(loss_of, p0, g, "wind_phase", [()], delta=1e-6)
+
+
+def test_grad_stiffness_stretch_bend_attach(setup):
+    sim, vg, p0, loss_of = setup
+    _, g = vg(p0)
+    check(loss_of, p0, g, "k_pertype", [(2,)], delta=1e-4, rtol=5e-3)
+    check(loss_of, p0, g, "k_pertype", [(3,)], delta=1e-6, rtol=5e-3)
+    check(loss_of, p0, g, "k_pertype", [(1,)], delta=1e-3, rtol=5e-3)
+
+
+def test_grad_density(setup):
+    sim, vg, p0, loss_of = setup
+    _, g = vg(p0)
+    check(loss_of, p0, g, "density", [()], delta=1e-7, rtol=5e-3)
+
+
+def test_grad_x0_v0(setup):
+    sim, vg, p0, loss_of = setup
+    _, g = vg(p0)
+    check(loss_of, p0, g, "x0", [(3, 0), (7, 1), (11, 2)], delta=1e-6,
+          rtol=5e-3)
+    check(loss_of, p0, g, "v0", [(5, 0), (9, 2)], delta=1e-6, rtol=5e-3)
+
+
+def test_grad_force_field(setup):
+    sim = make_sim()
+    sim.flags = sim.flags  # force_field needs the flag enabled
+    from diffcloth_tpu.config import SimFlags, LossType
+    flags = SimFlags(wind_enabled=True, gradient_clipping=False,
+                     constant_forcefield_enabled=True)
+    sim2 = ClothSim(sim.scene_host, dtype=jnp.float64, flags=flags)
+    p_gt = sim2.default_params()._replace(wind=jnp.array([0.4, 0.1, 0.3]))
+    gt = sim2.rollout(p_gt)
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.x))
+    lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg = sim2.episode_value_and_grad(lf)
+    p0 = sim2.default_params()._replace(wind=jnp.array([0.2, 0.0, 0.1]))
+
+    def loss_of(params):
+        recs = sim2.simulate(params, sim2.p_inv(params),
+                             sim2.x_fixed_seq(params))
+        return float(lf(recs))
+
+    _, g = vg(p0)
+    check(loss_of, p0, g, "force_field", [(4, 1), (10, 0)], delta=1e-6,
+          rtol=5e-3)
+
+
+def test_grad_spline_control_points(setup):
+    """Spline-parameter gradients through the attachment trajectory
+    (reference chain: Simulation.cpp:1642-1670 + Spline.h:284-320)."""
+    from diffcloth_tpu.config import LossType
+    sim = make_sim(trajectory=TrajectoryConfig.CORNERS_2_UP,
+                   wind=WindConfig.NO_WIND)
+    p_gt = sim.default_params()
+    # move endpoints somewhere definite
+    sp = np.array(p_gt.spline)
+    sp[:, 1] += 0.5
+    p_gt = p_gt._replace(spline=jnp.asarray(sp))
+    gt = sim.rollout(p_gt)
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.x))
+    lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg = sim.episode_value_and_grad(lf)
+    p0 = sim.default_params()
+
+    def loss_of(params):
+        recs = sim.simulate(params, sim.p_inv(params),
+                            sim.x_fixed_seq(params))
+        return float(lf(recs))
+
+    _, g = vg(p0)
+    check(loss_of, p0, g, "spline", [(0, 1), (0, 4), (1, 7)], delta=1e-6,
+          rtol=5e-3)
