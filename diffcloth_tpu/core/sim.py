@@ -23,8 +23,8 @@ from diffcloth_tpu.core import contact as ct
 from diffcloth_tpu.core import solver as slv
 from diffcloth_tpu.core import spline as spl
 from diffcloth_tpu.core import step as step_mod
-from diffcloth_tpu.core.types import (SceneDev, SimParams, StageDev,
-                                      StepRecord, make_sim_params)
+from diffcloth_tpu.core.types import (EpisodeRecords, SceneDev, SimParams,
+                                      StageDev, StepRecord, make_sim_params)
 from diffcloth_tpu.geometry import builder as gb
 
 
@@ -76,7 +76,8 @@ class ClothSim:
                  spline_type: SplineType = SplineType.ENDPOINT,
                  eps_forward: Optional[float] = None,
                  eps_backward: Optional[float] = None,
-                 max_forward_iters: Optional[int] = None):
+                 max_forward_iters: Optional[int] = None,
+                 solve_fn=None):
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
@@ -115,7 +116,7 @@ class ClothSim:
             self.scene_dev, self.stage_dev, self.prims,
             h=self.h, wind_config=cfg.wind_config, flags=self.flags,
             eps_forward=self.eps_forward, eps_backward=self.eps_backward,
-            max_forward_iters=max_forward_iters)
+            max_forward_iters=max_forward_iters, solve_fn=solve_fn)
 
     # ------------------------------------------------------------------ params
 
@@ -184,9 +185,9 @@ class ClothSim:
 
     @functools.partial(jax.jit, static_argnums=0)
     def simulate(self, params: SimParams, p_inv: jnp.ndarray,
-                 x_fixed_seq: jnp.ndarray) -> StepRecord:
-        """Full rollout; returns records for frames 0..N (frame 0 = initial
-        state, like forwardRecords[0])."""
+                 x_fixed_seq: jnp.ndarray) -> EpisodeRecords:
+        """Full rollout: frame 0 (initial state, forwardRecords[0]) plus the
+        scan-stacked records for steps 1..N."""
         h = self.h
 
         def body(carry, inp):
@@ -202,22 +203,37 @@ class ClothSim:
         idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)
         (_, _), recs = jax.lax.scan(
             body, (params.x0, params.v0), (x_fixed_seq, idx_f))
+        return EpisodeRecords(x0=params.x0, v0=params.v0, steps=recs)
 
-        F = x_fixed_seq.shape[1]
-        rec0 = StepRecord(
-            x=params.x0, v=params.v0,
-            f=jnp.zeros_like(params.x0), r=jnp.zeros_like(params.x0),
-            x_fixed=self.stage_dev.fixed_pos_rest.astype(self.dtype),
-            converged=jnp.asarray(True),
-            iters=jnp.asarray(0, jnp.int32),
-            avg_deformation=jnp.asarray(1.0, self.dtype))
-        return jax.tree.map(
-            lambda a, b: jnp.concatenate([a[None], b], axis=0), rec0, recs)
-
-    def rollout(self, params: SimParams) -> StepRecord:
+    def rollout(self, params: SimParams) -> EpisodeRecords:
         """Convenience: refactorize + trajectory + simulate."""
         return self.simulate(params, self.p_inv(params),
                              self.x_fixed_seq(params))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def simulate_final(self, params: SimParams, p_inv: jnp.ndarray,
+                       x_fixed_seq: jnp.ndarray):
+        """Lean rollout: final (x,v) plus per-step scalars only — no stacked
+        (n,3) per-step outputs.
+
+        This is the vmap-safe path for batched rollouts: the TPU stack
+        kernel-faults on vmap(scan) programs whose scan stacks large
+        per-step arrays (and at the target batch sizes the stacked
+        trajectories would not fit HBM anyway).  All per-step compute is
+        identical to `simulate`."""
+        h = self.h
+
+        def body(carry, inp):
+            x, v = carry
+            x_fixed, idx_f = inp
+            x2, v2, aux = self.step(x, v, params, x_fixed, p_inv,
+                                    idx_f * h, idx_f)
+            return (x2, v2), (aux.converged, aux.iters)
+
+        idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)
+        (xN, vN), (conv, iters) = jax.lax.scan(
+            body, (params.x0, params.v0), (x_fixed_seq, idx_f))
+        return xN, vN, conv, iters
 
     def episode_value_and_grad(self, loss_fn):
         """Returns jitted params -> (loss, dparams).  `loss_fn(records)` is a

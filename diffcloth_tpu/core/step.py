@@ -78,7 +78,8 @@ def _avg_deformation(scene: SceneDev, x):
 def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
               *, h: float, wind_config: WindConfig, flags: SimFlags,
               eps_forward: float, eps_backward: float,
-              max_forward_iters: Optional[int] = None):
+              max_forward_iters: Optional[int] = None,
+              solve_fn=None):
     """Build the custom-VJP PD step for one attachment stage.
 
     Topology tensors (scene/stage/prims) are baked as trace-time constants;
@@ -86,6 +87,10 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     Simulation.cpp:3490-3584) do NOT trigger recompilation.
     """
     n = int(scene.area.shape[0])
+    # pluggable global solve: default is the local dense P^{-1} matmul; the
+    # tensor-parallel path row-shards P^{-1} over a mesh axis and all-gathers
+    # the solution (parallel/mesh.py)
+    solve_fn = solve_fn or _solve
     max_iter = max_forward_iters or flags.max_forward_iters or \
         pd_total_iters(eps_forward)
     max_back = flags.max_backward_iters
@@ -194,7 +199,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             f = btilde - h2 * cons.apply_AtA(scene, stage, params.k_pertype,
                                              v_now)
             r = friction(params, contact, m, f)
-            v_new = _solve(p_inv, btilde + r)
+            v_new = solve_fn(p_inv, btilde + r)
             x_new = x_n + h * v_new
             return x_new, v_new, f, r
 
@@ -297,12 +302,12 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             lam, _, it, _ = c
             # lambda <- P^{-1} (w + P lambda - (dR/dv)^T lambda)
             rhs = w + apply_P(params, lam) - vjp_v(lam)[0]
-            lam_next = _solve(p_inv, rhs)
+            lam_next = solve_fn(p_inv, rhs)
             # reference convergence: |u_k - u_{k-1}|/n < eps_b with u = lam/h
             delta = jnp.linalg.norm(lam_next - lam) / (n * h)
             return (lam_next, lam, it + 1, delta < eps_backward)
 
-        lam0 = _solve(p_inv, w)
+        lam0 = solve_fn(p_inv, w)
         lam, _, back_iters, back_ok = jax.lax.while_loop(
             fp_cond, fp_body, (lam0, jnp.zeros_like(lam0),
                                jnp.asarray(1, jnp.int32),

@@ -74,6 +74,32 @@ class StepRecord(NamedTuple):
     avg_deformation: jnp.ndarray  # ()
 
 
+class EpisodeRecords(NamedTuple):
+    """Full-episode output: the initial frame travels separately from the
+    scan-stacked steps.  (Concatenating the initial frame onto the scan
+    output inside jit hangs the TPU compiler under vmap, and keeping them
+    apart is free: frame i of the reference's forwardRecords is x0 for i=0
+    and steps.x[i-1] otherwise.)"""
+    x0: jnp.ndarray              # (n,3)
+    v0: jnp.ndarray              # (n,3)
+    steps: StepRecord            # stacked over steps 1..N
+
+    def frame_x(self, i: int):
+        return self.x0 if i == 0 else self.steps.x[i - 1]
+
+    @property
+    def n_frames(self):
+        return self.steps.x.shape[0] + 1
+
+    def full_x(self):
+        """(N+1, n, 3) stacked trajectory (host-side convenience; avoid
+        inside vmapped jit — see class docstring)."""
+        return jnp.concatenate([self.x0[None], self.steps.x], axis=0)
+
+    def full_v(self):
+        return jnp.concatenate([self.v0[None], self.steps.v], axis=0)
+
+
 def make_sim_params(n: int, n_fixed: int, n_prims: int, n_steps: int,
                     dtype=jnp.float32,
                     k_stretch: float = 100.0, k_bend: float = 0.0,

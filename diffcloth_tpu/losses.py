@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffcloth_tpu.config import LossType
-from diffcloth_tpu.core.types import StepRecord
+from diffcloth_tpu.core.types import EpisodeRecords
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,76 +41,90 @@ class LossInfo:
     keypoint_candidates: Optional[jnp.ndarray] = None  # (K,C) int32, -1 pad
 
 
-def match_trajectory(recs: StepRecord, info: LossInfo):
-    """L = 1/(N*n) sum_i |x_i - x*_i|^2 (Simulation.cpp:3247-3278)."""
-    N, n = recs.x.shape[0], recs.x.shape[1]
+def match_trajectory(recs: EpisodeRecords, info: LossInfo):
+    """L = 1/(N*n) sum_i |x_i - x*_i|^2 over frames 0..N
+    (Simulation.cpp:3247-3278).  target_x has N+1 frames; frame 0 compares
+    against the (possibly optimized) initial positions."""
+    N = recs.steps.x.shape[0] + 1
+    n = recs.steps.x.shape[1]
     k = 1.0 / (N * n)
-    d = recs.x - info.target_x.astype(recs.x.dtype)
-    return k * jnp.sum(d * d)
+    tgt = info.target_x.astype(recs.steps.x.dtype)
+    d0 = recs.x0 - tgt[0]
+    d = recs.steps.x - tgt[1:]
+    return k * (jnp.sum(d * d) + jnp.sum(d0 * d0))
 
 
-def match_velocity(recs: StepRecord, info: LossInfo):
+def match_velocity(recs: EpisodeRecords, info: LossInfo):
     """Simulation.cpp:3280-3311."""
-    N, n = recs.v.shape[0], recs.v.shape[1]
+    N = recs.steps.v.shape[0] + 1
+    n = recs.steps.v.shape[1]
     k = 1.0 / (N * n)
-    d = recs.v - info.target_v.astype(recs.v.dtype)
-    return k * jnp.sum(d * d)
+    tgt = info.target_v.astype(recs.steps.v.dtype)
+    d0 = recs.v0 - tgt[0]
+    d = recs.steps.v - tgt[1:]
+    return k * (jnp.sum(d * d) + jnp.sum(d0 * d0))
 
 
-def match_trajectory_max(recs: StepRecord, info: LossInfo):
+def match_trajectory_max(recs: EpisodeRecords, info: LossInfo):
     """Max-over-frames variant (Simulation.cpp:3313-3341)."""
-    n = recs.x.shape[1]
-    d = recs.x - info.target_x.astype(recs.x.dtype)
+    n = recs.steps.x.shape[1]
+    tgt = info.target_x.astype(recs.steps.x.dtype)
+    d = recs.steps.x - tgt[1:]
     per_frame = jnp.sum(d * d, axis=(1, 2)) / n
-    return jnp.max(per_frame)
+    d0 = jnp.sum((recs.x0 - tgt[0]) ** 2) / n
+    return jnp.maximum(jnp.max(per_frame), d0)
 
 
-def dress_angle(recs: StepRecord, info: LossInfo):
+def dress_angle(recs: EpisodeRecords, info: LossInfo):
     """Twirl-height loss on the dress hem loop points
     (Simulation.cpp:3343-3376)."""
     target_h = info.rest_min[1] + \
         (info.rest_max[1] - info.rest_min[1]) * info.target_twirl_height
-    pts = recs.x[-1][info.loop_points]          # (L,3)
+    pts = recs.steps.x[-1][info.loop_points]    # (L,3)
     k = 1.0 / info.loop_points.shape[0]
     dy = pts[:, 1] - target_h
     return k * jnp.sum(dy * dy)
 
 
-def matchshape_translation_invariant(recs: StepRecord, info: LossInfo):
+def matchshape_translation_invariant(recs: EpisodeRecords, info: LossInfo):
     """Translation-free last-frame shape match (Simulation.cpp:3378-3402)."""
-    n = recs.x.shape[1]
+    n = recs.steps.x.shape[1]
     tgt = info.target_x if info.target_x.ndim == 2 else info.target_x[-1]
     tgt = tgt - tgt[0:1]
-    cur = recs.x[-1] - recs.x[-1][0:1]
+    last = recs.steps.x[-1]
+    cur = last - last[0:1]
     d = cur - tgt.astype(cur.dtype)
     return jnp.sum(d * d) / n
 
 
-def multistep_matchshape(recs: StepRecord, info: LossInfo):
+def multistep_matchshape(recs: EpisodeRecords, info: LossInfo):
     """Per-chosen-frame shape targets (Simulation.cpp:3404-3420)."""
-    n = recs.x.shape[1]
+    n = recs.steps.x.shape[1]
     L = 0.0
     for frame_idx, shape in info.target_frame_shape:
-        d = recs.x[frame_idx] - shape.astype(recs.x.dtype)
+        cur = recs.x0 if frame_idx == 0 else recs.steps.x[frame_idx - 1]
+        d = cur - shape.astype(cur.dtype)
         L = L + jnp.sum(d * d) / n
     return L
 
 
-def matchshape_with_translation(recs: StepRecord, info: LossInfo):
+def matchshape_with_translation(recs: EpisodeRecords, info: LossInfo):
     """x_target = x_init + translation, matched at the last frame
     (Simulation.cpp:3422-3438)."""
-    n = recs.x.shape[1]
-    tgt = info.x_init.astype(recs.x.dtype) + \
-        info.target_translation.astype(recs.x.dtype)[None, :]
-    d = recs.x[-1] - tgt
+    n = recs.steps.x.shape[1]
+    last = recs.steps.x[-1]
+    tgt = info.x_init.astype(last.dtype) + \
+        info.target_translation.astype(last.dtype)[None, :]
+    d = last - tgt
     return jnp.sum(d * d) / n
 
 
-def assisted_dressing_keypoints(recs: StepRecord, info: LossInfo):
+def assisted_dressing_keypoints(recs: EpisodeRecords, info: LossInfo):
     """Max-distance keypoint matching (Simulation.cpp:3440-3475): for each
-    (frame, target, candidate set), penalize the *farthest* candidate."""
+    (frame, target, candidate set), penalize the *farthest* candidate.
+    Keypoint frames are always >= 1 in the demos (sock uses 0.62N..N)."""
     K = info.keypoint_frames.shape[0]
-    xs = recs.x[info.keypoint_frames]                      # (K, n, 3)
+    xs = recs.steps.x[info.keypoint_frames - 1]            # (K, n, 3)
     cand = info.keypoint_candidates                        # (K, C)
     valid = cand >= 0
     pos = jnp.take_along_axis(
@@ -134,6 +148,6 @@ _DISPATCH = {
 
 
 def make_loss_fn(loss_type: LossType, info: LossInfo
-                 ) -> Callable[[StepRecord], jnp.ndarray]:
+                 ) -> Callable[[EpisodeRecords], jnp.ndarray]:
     fn = _DISPATCH[loss_type]
     return lambda recs: fn(recs, info)

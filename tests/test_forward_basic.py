@@ -51,17 +51,17 @@ def test_forward_converges_and_is_stable(sim):
     params = sim.default_params()
     params = params._replace(wind=jnp.array([0.3, 0.05, 0.3]))
     recs = sim.rollout(params)
-    assert recs.x.shape == (11, 25, 3)
-    assert np.all(np.isfinite(np.asarray(recs.x)))
+    assert recs.steps.x.shape == (10, 25, 3)
+    assert np.all(np.isfinite(np.asarray(recs.steps.x)))
     # every step converged within the iteration cap
-    assert bool(np.all(np.asarray(recs.converged[1:])))
+    assert bool(np.all(np.asarray(recs.steps.converged)))
     # attachment constraint holds: clipped vertices stay near their clips
     clip_err = np.linalg.norm(
-        np.asarray(recs.x[-1][sim.stage_host.particle_idx]) -
-        np.asarray(recs.x_fixed[-1]))
+        np.asarray(recs.steps.x[-1][sim.stage_host.particle_idx]) -
+        np.asarray(recs.steps.x_fixed[-1]))
     assert clip_err < 0.1
     # cloth should not blow up: deformation ratio stays near 1
-    assert float(recs.avg_deformation[-1]) < 1.5
+    assert float(recs.steps.avg_deformation[-1]) < 1.5
 
 
 def test_hanging_cloth_comes_to_rest(sim):
@@ -73,8 +73,8 @@ def test_hanging_cloth_comes_to_rest(sim):
                     flags=SimFlags(wind_enabled=False))
     p = sim2.default_params()
     recs = sim2.rollout(p)
-    v_early = float(jnp.linalg.norm(recs.v[5]))
-    v_late = float(jnp.linalg.norm(recs.v[-1]))
+    v_early = float(jnp.linalg.norm(recs.steps.v[5]))
+    v_late = float(jnp.linalg.norm(recs.steps.v[-1]))
     assert v_late < v_early
 
 
@@ -82,4 +82,5 @@ def test_determinism(sim):
     params = sim.default_params()
     r1 = sim.rollout(params)
     r2 = sim.rollout(params)
-    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    np.testing.assert_array_equal(np.asarray(r1.steps.x),
+                                  np.asarray(r2.steps.x))

@@ -53,7 +53,7 @@ def setup():
                          wind_phase=jnp.asarray(0.5))
     gt = sim.rollout(p_gt)
     from diffcloth_tpu.config import LossType
-    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.x))
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
     loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
     vg = sim.episode_value_and_grad(loss_fn)
 
@@ -140,7 +140,7 @@ def test_grad_force_field(setup):
     sim2 = ClothSim(sim.scene_host, dtype=jnp.float64, flags=flags)
     p_gt = sim2.default_params()._replace(wind=jnp.array([0.4, 0.1, 0.3]))
     gt = sim2.rollout(p_gt)
-    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.x))
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
     lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
     vg = sim2.episode_value_and_grad(lf)
     p0 = sim2.default_params()._replace(wind=jnp.array([0.2, 0.0, 0.1]))
@@ -167,7 +167,7 @@ def test_grad_spline_control_points(setup):
     sp[:, 1] += 0.5
     p_gt = p_gt._replace(spline=jnp.asarray(sp))
     gt = sim.rollout(p_gt)
-    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.x))
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
     lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
     vg = sim.episode_value_and_grad(lf)
     p0 = sim.default_params()
