@@ -1,0 +1,90 @@
+"""Demo orchestration: task setup -> (optional random restart) -> L-BFGS-B.
+
+reference: BackwardTaskSolver::solveDemo / optimizeLBFGS
+(BackwardTaskSolver.cpp:11-66) and getOptimizeHelper (:77-137).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from diffcloth_tpu.optim.helper import OptimizeHelper
+from diffcloth_tpu.optim.lbfgsb import LbfgsResult, minimize_lbfgsb
+from diffcloth_tpu.tasks.setup import TaskSetup, build_task
+
+
+@dataclasses.dataclass
+class DemoResult:
+    task: TaskSetup
+    helper: OptimizeHelper
+    result: LbfgsResult
+    x_init: np.ndarray
+    wallclock_s: float
+
+
+def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
+               dtype=None, export_dir: Optional[str] = None,
+               **task_kwargs) -> DemoResult:
+    """Run one trajectory/parameter optimization demo end-to-end.
+
+    seed=None starts from the reference's default guess (param_guess:
+    splines translated, otherwise mid-bounds); an integer seed draws a
+    bounded random restart (reference `-seed N`, main.cpp:115-150)."""
+    import jax.numpy as jnp
+
+    task = build_task(demo, dtype=dtype or jnp.float32, **task_kwargs)
+    helper = OptimizeHelper(task.sim, task.mask, task.loss_fn())
+
+    if seed is not None:
+        x0 = helper.random_param(seed)
+    else:
+        x0 = helper.params_to_vec(helper.base)
+        # mid-bounds fallback for entries whose base value is out of bounds
+        lb, ub = helper.lower_bound, helper.upper_bound
+        mid = 0.5 * (lb + ub)
+        bad = (x0 < lb) | (x0 > ub)
+        x0 = np.where(bad, mid, x0)
+
+    t0 = time.time()
+    res = minimize_lbfgsb(helper.loss_and_grad, x0,
+                          helper.lower_bound, helper.upper_bound,
+                          maxiter=maxiter)
+    wall = time.time() - t0
+
+    if export_dir:
+        export_optimization(export_dir, demo, helper, res)
+    return DemoResult(task=task, helper=helper, result=res, x_init=x0,
+                      wallclock_s=wall)
+
+
+def export_optimization(folder: str, demo: str, helper: OptimizeHelper,
+                        res: LbfgsResult) -> None:
+    """Persist per-iteration losses/params + final trajectory OBJ frames
+    (reference exportStatistics / exportOptimizationRecords,
+    Simulation.cpp:3963-4129)."""
+    from diffcloth_tpu.geometry import objio
+
+    os.makedirs(folder, exist_ok=True)
+    log = {
+        "demo": demo,
+        "final_loss": res.loss,
+        "n_iters": res.n_iters,
+        "n_evals": res.n_evals,
+        "converged": res.converged,
+        "message": res.message,
+        "loss_history": res.loss_history,
+        "x_final": res.x.tolist(),
+    }
+    with open(os.path.join(folder, "optimization.json"), "w") as fh:
+        json.dump(log, fh, indent=1)
+    # final-trajectory export for offline viewing
+    params = helper.vec_to_params(res.x)
+    recs = helper.sim.rollout(params)
+    xs = np.asarray(recs.full_x())
+    objio.export_frames(os.path.join(folder, "final"), xs,
+                        helper.sim.scene_host.tris)
