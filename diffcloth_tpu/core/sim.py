@@ -20,6 +20,7 @@ import numpy as np
 from diffcloth_tpu.config import (SceneConfig, SimFlags, SplineType,
                                   TrajectoryConfig, WindConfig)
 from diffcloth_tpu.core import contact as ct
+from diffcloth_tpu.core import selfcol as sc
 from diffcloth_tpu.core import solver as slv
 from diffcloth_tpu.core import spline as spl
 from diffcloth_tpu.core import step as step_mod
@@ -50,6 +51,10 @@ def scene_to_device(scene: gb.Scene, dtype=jnp.float32) -> SceneDev:
     )
 
 
+def gb_selfcol_candidates(scene: gb.Scene):
+    return sc.build_candidate_pairs(scene.conn_table)
+
+
 def stage_to_device(stage: gb.AttachmentStage, dtype=jnp.float32) -> StageDev:
     a_rows = gb.attach_rows(stage)
     f = lambda a: jnp.asarray(a, dtype)
@@ -77,7 +82,8 @@ class ClothSim:
                  eps_forward: Optional[float] = None,
                  eps_backward: Optional[float] = None,
                  max_forward_iters: Optional[int] = None,
-                 solve_fn=None):
+                 solve_fn=None, self_cap_pairs: Optional[int] = None,
+                 self_max_layers: int = 16):
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
@@ -112,11 +118,26 @@ class ClothSim:
         self._p_inv_fn = slv.make_host_p_inv_fn(
             gram, np.asarray(scene.area, np.float64), self.h, dtype)
 
+        self_cfg = None
+        if (self.flags.contact_enabled and self.flags.self_collision_enabled
+                and self.prims.kind.shape[0] > 0):
+            # self-collision only matters for scenes with obstacles in the
+            # reference demos; candidate pairs are all non-mesh-adjacent
+            # pairs (reference broad phase prunes at runtime; for n up to a
+            # few thousand the dense masked test vectorizes better on TPU)
+            cand = gb_selfcol_candidates(scene)
+            cap = self_cap_pairs or max(128, scene.n // 2)
+            self_cfg = step_mod.SelfColConfig(
+                cand=jnp.asarray(cand, jnp.int32), cap_pairs=cap,
+                max_layers=self_max_layers)
+        self.self_cfg = self_cfg
+
         self.step, self.residual = step_mod.make_step(
             self.scene_dev, self.stage_dev, self.prims,
             h=self.h, wind_config=cfg.wind_config, flags=self.flags,
             eps_forward=self.eps_forward, eps_backward=self.eps_backward,
-            max_forward_iters=max_forward_iters, solve_fn=solve_fn)
+            max_forward_iters=max_forward_iters, solve_fn=solve_fn,
+            self_cfg=self_cfg)
 
     # ------------------------------------------------------------------ params
 

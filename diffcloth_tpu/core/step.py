@@ -45,7 +45,15 @@ import numpy as np
 from diffcloth_tpu.config import GRAVITY, SimFlags, WindConfig, pd_total_iters
 from diffcloth_tpu.core import constraints as cons
 from diffcloth_tpu.core import contact as ct
+from diffcloth_tpu.core import selfcol as sc
 from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev, StepRecord
+
+
+class SelfColConfig(NamedTuple):
+    """Static self-collision configuration for make_step."""
+    cand: jnp.ndarray      # (P,2) int32 candidate pairs (non-adjacent)
+    cap_pairs: int
+    max_layers: int
 
 
 def _solve(p_inv, rhs):
@@ -79,7 +87,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
               *, h: float, wind_config: WindConfig, flags: SimFlags,
               eps_forward: float, eps_backward: float,
               max_forward_iters: Optional[int] = None,
-              solve_fn=None):
+              solve_fn=None, self_cfg: Optional[SelfColConfig] = None):
     """Build the custom-VJP PD step for one attachment stage.
 
     Topology tensors (scene/stage/prims) are baked as trace-time constants;
@@ -139,10 +147,22 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         s_n = x_n + h * v_n + h2 * f_ext / m[:, None]
         return s_n, m, wf
 
-    def friction(params, contact: ct.ContactSet, m, f):
-        if not flags.contact_enabled or prims.kind.shape[0] == 0:
+    use_self = (flags.contact_enabled and flags.self_collision_enabled
+                and self_cfg is not None)
+
+    def friction(params, contact: ct.ContactSet, selfc, m, f):
+        """Obstacle contacts first (layer 0), then layered self-contact
+        Gauss-Seidel (calculateDryFrictionVector, Simulation.cpp:627-682)."""
+        if not flags.contact_enabled:
             return jnp.zeros_like(f)
-        return ct.obstacle_friction(f, contact, m, params.mu)
+        if prims.kind.shape[0] > 0:
+            r = ct.obstacle_friction(f, contact, m, params.mu)
+        else:
+            r = jnp.zeros_like(f)
+        if use_self:
+            r = sc.self_friction(f, selfc, m, r, self_cfg.max_layers,
+                                 ct.dry_friction_force)
+        return r
 
     def btilde_of(params, m, f_ext, x_n, v_n, x_eval, x_fixed):
         """b~ = (h^2 A^T p + M s_n - P x_n)/h computed in residual form
@@ -161,7 +181,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                                d_s, d_b, d_a, n)
         return h * At_d + m[:, None] * v_n + h * f_ext
 
-    def residual(v_new, x_n, v_n, params, x_fixed, contact, t, step_idx):
+    def residual(v_new, x_n, v_n, params, x_fixed, contact, selfc, t,
+                 step_idx):
         """R(v_new) = P v_new - b~ - r, all parameter dependence explicit
         (operator form) so one jax.vjp yields every gradient the reference
         hand-derives in stepBackward (:1622-1764)."""
@@ -171,7 +192,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         btilde = btilde_of(params, m, f_ext, x_n, v_n, x_new, x_fixed)
         Cv = h2 * cons.apply_AtA(scene, stage, params.k_pertype, v_new)
         f = btilde - Cv
-        r = friction(params, contact, m, f)
+        r = friction(params, contact, selfc, m, f)
         Pv = m[:, None] * v_new + Cv
         return Pv - btilde - r
 
@@ -193,12 +214,19 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             contact = ct.ContactSet(
                 mask=jnp.zeros((n,), bool), normal=jnp.zeros_like(x_n),
                 v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
+        if use_self:
+            selfc = sc.detect_self_collisions(
+                self_cfg.cand, scene.radii, x_n, v_iter0, h,
+                self_cfg.cap_pairs)
+            selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
+        else:
+            selfc = sc.empty_self_contacts(1, x_n.dtype)
 
         def one_iter(x_now, v_now):
             btilde = btilde_of(params, m, f_ext, x_n, v_n, x_now, x_fixed)
             f = btilde - h2 * cons.apply_AtA(scene, stage, params.k_pertype,
                                              v_now)
-            r = friction(params, contact, m, f)
+            r = friction(params, contact, selfc, m, f)
             v_new = solve_fn(p_inv, btilde + r)
             x_new = x_n + h * v_new
             return x_new, v_new, f, r
@@ -260,24 +288,26 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         v_new = jnp.where(out.strict, out.v_now, out.best_v)
         aux = StepAux(f=out.f, r=out.r, converged=converged, iters=out.it,
                       avg_deformation=_avg_deformation(scene, x_new))
-        return x_new, v_new, aux, contact
+        return x_new, v_new, aux, contact, selfc
 
     # -- custom VJP ---------------------------------------------------------
 
     @jax.custom_vjp
     def step(x, v, params, x_fixed, p_inv, t, step_idx):
-        x_new, v_new, aux, _ = pd_forward(x, v, params, x_fixed, p_inv,
-                                          t, step_idx)
+        x_new, v_new, aux, _, _ = pd_forward(x, v, params, x_fixed, p_inv,
+                                             t, step_idx)
         return x_new, v_new, aux
 
     def step_fwd(x, v, params, x_fixed, p_inv, t, step_idx):
-        x_new, v_new, aux, contact = pd_forward(x, v, params, x_fixed, p_inv,
-                                                t, step_idx)
-        res = (x, v, v_new, params, x_fixed, contact, p_inv, t, step_idx)
+        x_new, v_new, aux, contact, selfc = pd_forward(
+            x, v, params, x_fixed, p_inv, t, step_idx)
+        res = (x, v, v_new, params, x_fixed, contact, selfc, p_inv, t,
+               step_idx)
         return (x_new, v_new, aux), res
 
     def step_bwd(res, cots):
-        x_n, v_n, v_new, params, x_fixed, contact, p_inv, t, step_idx = res
+        (x_n, v_n, v_new, params, x_fixed, contact, selfc, p_inv, t,
+         step_idx) = res
         x_bar, v_bar, _aux_bar = cots
 
         # total cotangent on v_new: x_new = x_n + h v_new
@@ -292,7 +322,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
 
         _, vjp_v = jax.vjp(
             lambda vn: residual(vn, x_n, v_n, params, x_fixed, contact,
-                                t, step_idx), v_new)
+                                selfc, t, step_idx), v_new)
 
         def fp_cond(c):
             lam, lam_prev, it, done = c
@@ -318,7 +348,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
 
         _, vjp_rest = jax.vjp(
             lambda xn, vn, pr, xf: residual(v_new, xn, vn, pr, xf, contact,
-                                            t, step_idx),
+                                            selfc, t, step_idx),
             x_n, v_n, params, x_fixed)
         gx, gv, gp, gxf = vjp_rest(lam)
 

@@ -52,14 +52,14 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
            normal=(0, 1, 0), ul=(0, 0, 0), ur=(0, 0, 0), rot=np.eye(3)):
         f = lambda a: jnp.asarray(np.asarray(a, np.float64)[None], dtype)
         return ct.PrimitiveSet(
-            kind=jnp.asarray([kind], jnp.int32), center=f(center),
+            kind=np.asarray([kind], np.int32), center=f(center),
             velocity=f((0, 0, 0)), radius=jnp.asarray([radius], dtype),
             length=jnp.asarray([length], dtype),
             axis_rot=jnp.asarray(np.asarray(rot)[None], dtype),
             plane_normal=f(normal), plane_upper_left=f(ul),
             plane_upper_right=f(ur),
-            rotates=jnp.asarray([rotates]), mu=jnp.asarray([mu], dtype),
-            enabled=jnp.asarray([True]))
+            rotates=np.asarray([rotates]), mu=jnp.asarray([mu], dtype),
+            enabled=np.asarray([True]))
 
     center_low = 0.5 * (lo + hi)
     center_low = np.array([center_low[0], lo[1], center_low[2]])
