@@ -108,19 +108,30 @@ def _plane_test(prims: PrimitiveSet, j, pos):
 
 
 def _capsule_test(prims: PrimitiveSet, j, pos):
-    """Point-vs-capsule: segment from center along rotated local +y with given
-    length (reference: Capsule::isInContact, Primitive.cpp:570-602)."""
+    """Point-vs-capsule (reference: Capsule::isInContact,
+    Primitive.cpp:570-602): segment from the base (prims.center) along
+    globalRotation * (0, length, 0); the body/top-cap distances use
+    radius + 0.1 while the bottom cap uses the bare radius, the parameter
+    acceptance window extends r/L beyond both ends, and contact fires at
+    dist < 0.1 — replicated exactly."""
+    L = prims.length[j]
+    r = prims.radius[j]
     rot = prims.axis_rot[j]
     base = prims.center[j]
-    tip_dir = rot @ jnp.array([0.0, 1.0, 0.0], pos.dtype)
-    rel = pos - base
-    t = jnp.clip(jnp.einsum("...d,d->...", rel, tip_dir), 0.0,
-                 prims.length[j])
-    closest = base + t[..., None] * tip_dir
-    dvec = pos - closest
-    dist = jnp.linalg.norm(dvec, axis=-1) - prims.radius[j]
-    hit = dist < 0.1
-    return hit, _safe_normalize(dvec), dist, jnp.broadcast_to(
+    tip = rot @ (jnp.array([0.0, 1.0, 0.0], pos.dtype) * L)
+    rel = pos - base                                   # posLocal
+    t = jnp.einsum("...d,d->...", rel, tip) / jnp.maximum(
+        jnp.sum(tip * tip), 1e-30)                     # fraction along seg
+    in_window = (t >= -r / L) & (t <= 1.0 + r / L)
+    d_bot = jnp.linalg.norm(rel, axis=-1) - r
+    d_top = jnp.linalg.norm(rel - tip, axis=-1) - (r + 0.1)
+    proj = jnp.clip(t, 0.0, 1.0)[..., None] * tip
+    d_body = jnp.linalg.norm(rel - proj, axis=-1) - (r + 0.1)
+    dist = jnp.where(t < 0.0, d_bot, jnp.where(t > 1.0, d_top, d_body))
+    nvec = jnp.where((t < 0.0)[..., None], rel,
+                     jnp.where((t > 1.0)[..., None], rel - tip, rel - proj))
+    hit = in_window & (dist < 0.1)
+    return hit, _safe_normalize(nvec), dist, jnp.broadcast_to(
         prims.velocity[j], pos.shape)
 
 

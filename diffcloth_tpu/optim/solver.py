@@ -37,13 +37,30 @@ def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
     bounded random restart (reference `-seed N`, main.cpp:115-150)."""
     import jax.numpy as jnp
 
+    import numpy as _np
+
     task = build_task(demo, dtype=dtype or jnp.float32, **task_kwargs)
-    helper = OptimizeHelper(task.sim, task.mask, task.loss_fn())
+    helper = OptimizeHelper(task.sim, task.mask, task.loss_fn(),
+                            param_base=task.param_base)
 
     if seed is not None:
         x0 = helper.random_param(seed)
     else:
-        x0 = helper.params_to_vec(helper.base)
+        start = task.param_base
+        if task.mask.control_points:
+            # reference default guess: spline endpoints translated by
+            # (-1,1,0) for the first two splines, (1,1,0) for the rest
+            # (OptimizeHelper ctor, OptimizeHelper.cpp:21-38)
+            sp = _np.array(start.spline)
+            F = sp.shape[0]
+            for f in range(F):
+                d = _np.array([-1.0, 1.0, 0.0]) if f < 2 else                     _np.array([1.0, 1.0, 0.0])
+                sp[f, 0:3] += d   # p1
+                sp[f, 3:6] += d   # m0 = p1 - p0 (+yUp e_y): shifts with p1
+                sp[f, 6:9] += d
+            import jax.numpy as _jnp
+            start = start._replace(spline=_jnp.asarray(sp, task.sim.dtype))
+        x0 = helper.params_to_vec(start)
         # mid-bounds fallback for entries whose base value is out of bounds
         lb, ub = helper.lower_bound, helper.upper_bound
         mid = 0.5 * (lb + ub)

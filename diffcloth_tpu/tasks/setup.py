@@ -35,11 +35,63 @@ class TaskSetup:
     mask: GradMask
     loss_type: LossType
     loss_info: losses.LossInfo
-    param_gt: SimParams              # ground-truth / initial actual params
+    param_gt: SimParams              # ground-truth / "actual" params
+    param_base: SimParams            # scene-state defaults (optimizer base)
     name: str
 
     def loss_fn(self):
         return losses.make_loss_fn(self.loss_type, self.loss_info)
+
+
+def _prim_struct(entries, dtype) -> ct.PrimitiveSet:
+    """Assemble a PrimitiveSet from a list of dicts."""
+    P = len(entries)
+    g = lambda key, default, shape: np.stack(
+        [np.broadcast_to(np.asarray(e.get(key, default), np.float64), shape)
+         for e in entries]) if P else np.zeros((0,) + shape)
+    f = lambda a: jnp.asarray(a, dtype)
+    return ct.PrimitiveSet(
+        kind=np.asarray([e["kind"] for e in entries], np.int32),
+        center=f(g("center", (0, 0, 0), (3,))),
+        velocity=f(g("velocity", (0, 0, 0), (3,))),
+        radius=f(g("radius", 0.0, ())),
+        length=f(g("length", 0.0, ())),
+        axis_rot=f(g("rot", np.eye(3), (3, 3))),
+        plane_normal=f(g("normal", (0, 1, 0), (3,))),
+        plane_upper_left=f(g("ul", (0, 0, 0), (3,))),
+        plane_upper_right=f(g("ur", (0, 0, 0), (3,))),
+        rotates=np.asarray([bool(e.get("rotates", False)) for e in entries]),
+        mu=f(g("mu", 0.0, ())),
+        enabled=np.ones((P,), bool))
+
+
+def lower_leg_entries(center, axis, leg_length=5.0, foot_length=4.0,
+                      mu=0.0):
+    """Flattened LowerLeg composite: joint sphere + foot capsule + leg
+    capsule (reference: LowerLeg ctor, Primitive.cpp:383-407; contact order
+    joint, foot, leg :404-406 / :412-415).  `axis` is the foot direction;
+    the leg bends along local (0, 0.7, 0.3)."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    radius = 0.8
+    rot_foot = gb.axis_to_rotation(axis, np.array([0.0, 1.0, 0.0]))
+    leg_local_axis = np.array([0.0, 0.7, 0.3])
+    rot_from_parent = gb.axis_to_rotation(
+        leg_local_axis / np.linalg.norm(leg_local_axis),
+        np.array([0.0, 1.0, 0.0]))
+    leg_global_axis = rot_from_parent @ axis
+    rot_leg = gb.axis_to_rotation(leg_global_axis,
+                                  np.array([0.0, 1.0, 0.0]))
+    knee = rot_from_parent @ np.array([0.0, foot_length, 0.0])
+    center = np.asarray(center, np.float64)
+    return [
+        dict(kind=ct.P_SPHERE, center=center + knee, radius=radius + 0.05,
+             mu=mu),
+        dict(kind=ct.P_CAPSULE, center=center, radius=radius,
+             length=foot_length, rot=rot_foot, mu=mu),
+        dict(kind=ct.P_CAPSULE, center=center + knee, radius=radius,
+             length=leg_length, rot=rot_leg, mu=mu),
+    ], dict(knee=knee, rot_leg=rot_leg, rot_foot=rot_foot, radius=radius)
 
 
 def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
@@ -48,28 +100,20 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
     pc = cfg.primitive_config
     lo, hi = scene.rest_min, scene.rest_max
 
-    def mk(kind, center, radius=0.0, length=0.0, mu=0.0, rotates=False,
-           normal=(0, 1, 0), ul=(0, 0, 0), ur=(0, 0, 0), rot=np.eye(3)):
-        f = lambda a: jnp.asarray(np.asarray(a, np.float64)[None], dtype)
-        return ct.PrimitiveSet(
-            kind=np.asarray([kind], np.int32), center=f(center),
-            velocity=f((0, 0, 0)), radius=jnp.asarray([radius], dtype),
-            length=jnp.asarray([length], dtype),
-            axis_rot=jnp.asarray(np.asarray(rot)[None], dtype),
-            plane_normal=f(normal), plane_upper_left=f(ul),
-            plane_upper_right=f(ur),
-            rotates=np.asarray([rotates]), mu=jnp.asarray([mu], dtype),
-            enabled=np.asarray([True]))
+    def mk(kind, center, **kw):
+        return _prim_struct([dict(kind=kind, center=center, **kw)], dtype)
 
     center_low = 0.5 * (lo + hi)
     center_low = np.array([center_low[0], lo[1], center_low[2]])
+    center_high = 0.5 * (lo + hi)
+    center_high = np.array([center_high[0], hi[1], center_high[2]])
 
     if pc == PrimitiveConfig.NONE:
         return ct.empty_primitive_set(dtype)
     if pc == PrimitiveConfig.PLANE_AND_SPHERE:
         # rotating-sphere demo: only sphere2 (r=2) is a contact primitive
         # (Simulation.cpp:1826-1829, 1894-1903); sphere sits below the cloth
-        radius = 2.0  # Simulation.h ctor sphere2(..., 2, ...)
+        radius = 2.0  # Simulation.h:470 sphere2 ctor
         plane_center = center_low - np.array([0, radius * 2 + 0.1, 0])
         center = plane_center + np.array([radius * 0.3, radius,
                                           radius * 0.1])
@@ -77,16 +121,31 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
     if pc == PrimitiveConfig.BIG_SPHERE:
         return mk(ct.P_SPHERE, (-0.5, -16.0, 0.0), radius=15.0, mu=0.0)
     if pc == PrimitiveConfig.PLANE_BUST_WEARHAT:
-        # sphere head above a plane (Simulation.cpp:1932-1943); head r=2.5
-        # (Simulation.h ctor sphere_head)
-        radius = 2.5
+        # sphere head (r=2.1, Simulation.h:471) above a plane
+        # (Simulation.cpp:1932-1943); only the head is a contact primitive
+        radius = 2.1
         plane_center = center_low - np.array([0, 0.5, 0]) - np.array([0, 0, 4])
         head = plane_center + np.array([0, radius + 0.5, -4])
         return mk(ct.P_SPHERE, head, radius=radius, mu=0.1)
     if pc in (PrimitiveConfig.SLOPE, PrimitiveConfig.SLOPE_SIMPLIFIED):
-        raise NotImplementedError("slope plane primitive: next round")
+        # slope = Plane(center (0,-11,10), UL (-8,-1,-1), UR (8,-1,-1))
+        # (Simulation.h:474); placement per initScene SLOPE_SIMPLIEFIED
+        # (Simulation.cpp:1963-1976)
+        ul = np.array([-8.0, -1.0, -1.0]) - np.array([0.0, -11.0, 10.0])
+        ur = np.array([8.0, -1.0, -1.0]) - np.array([0.0, -11.0, 10.0])
+        normal = np.cross(ur, ul)
+        normal = normal / np.linalg.norm(normal)
+        lower_right = -ul
+        shift = (lower_right - ur) * 0.4
+        ref_idx = 285 if scene.n > 285 else scene.n // 2
+        ref = scene.x_rest[ref_idx]
+        center = ref + shift + np.array([0.0, -0.3, 0.0])
+        return mk(ct.P_PLANE, center, normal=normal, ul=ul, ur=ur, mu=0.2)
     if pc == PrimitiveConfig.FOOT:
-        raise NotImplementedError("sock leg composite: next round")
+        center = center_high + np.array([0.0, 3.0, -4.0])  # :1922
+        entries, _ = lower_leg_entries(
+            center, np.asarray(cfg.sock_leg_orientation), 5.0, 4.0, mu=0.0)
+        return _prim_struct(entries, dtype)
     if pc == PrimitiveConfig.Y0PLANE:
         return mk(ct.P_BOWL, (0, 0.5, 0), radius=0.5, mu=0.0)
     raise NotImplementedError(pc)
@@ -153,15 +212,103 @@ def build_task(demo: str, dtype=jnp.float32, **sim_kwargs) -> TaskSetup:
             loop_points=jnp.asarray(loop, jnp.int32),
             rest_min=jnp.asarray(scene.rest_min, dtype),
             rest_max=jnp.asarray(scene.rest_max, dtype))
-    elif demo in ("hat", "sock", "slope"):
-        if demo in ("hat", "sock"):
-            mask = GradMask(control_points=True)
-        else:
-            mask = GradMask(mu_primitives=(0,))
-        # full loss wiring for these contact demos lands with their
-        # primitives/self-collision support
-        raise NotImplementedError(
-            f"demo '{demo}' requires contact machinery scheduled this round")
+    elif demo == "slope":
+        # DEMO_SLOPE_PERF (:205-211): optimize friction; target = cloth
+        # translated to the slope end (setLossFunctionInformationAndType
+        # :127-133)
+        mask = GradMask(mu_primitives=(0,))
+        param_gt = base._replace(mu=base.mu.at[0].set(0.5))
+        ul = np.array([-8.0, -1.0, -1.0]) - np.array([0.0, -11.0, 10.0])
+        ur = np.array([8.0, -1.0, -1.0]) - np.array([0.0, -11.0, 10.0])
+        slope_end = (-ur) + (-ul)   # lowerLeft + lowerRight (relative)
+        translation = slope_end - 0.5 * (scene.rest_min + scene.rest_max)
+        loss_info = dataclasses.replace(
+            loss_info,
+            x_init=jnp.asarray(scene.x_rest, dtype),
+            target_translation=jnp.asarray(translation, dtype))
+    elif demo == "hat":
+        # DEMO_WEAR_HAT (:196-203, :56-72): optimize spline control points;
+        # target = hat translated onto the bust
+        mask = GradMask(control_points=True)
+        head_center = np.asarray(prims.center[0], np.float64)
+        head_radius = float(prims.radius[0])
+        bust_center = head_center + np.array([0, head_radius * 0.6, 0])
+        hat_center = 0.5 * (scene.rest_min + scene.rest_max)
+        translation = bust_center - hat_center
+        loss_info = dataclasses.replace(
+            loss_info,
+            x_init=jnp.asarray(scene.x_rest, dtype),
+            target_translation=jnp.asarray(translation, dtype))
+        # initScene CORNERS_2_WEARHAT moves the spline endpoints onto the
+        # bust with yUp=15 (Simulation.cpp:1994-2022)
+        from diffcloth_tpu.core import spline as spl
+        p1 = jnp.asarray(scene.stages[0].fixed_pos_rest + translation, dtype)
+        yup = jnp.full((p1.shape[0],), 15.0, dtype)
+        base = base._replace(spline=spl.default_params_from_endpoints(
+            sim.stage_dev.spline_p0, p1, yup))
+        param_gt = base
+    elif demo == "sock":
+        # DEMO_WEAR_SOCK (:196-203, :75-125): optimize spline control
+        # points; ASSISTED_DRESSING_KEYPOINTS on foot/leg anatomy
+        mask = GradMask(control_points=True)
+        center = np.asarray(prims.center[1], np.float64)  # foot base
+        _, geo = lower_leg_entries(center,
+                                   np.asarray(cfg.sock_leg_orientation))
+        leg_len, foot_len, r = 5.0, 4.0, geo["radius"]
+        knee = geo["knee"]
+        R_leg, R_foot = geo["rot_leg"], geo["rot_foot"]
+
+        def leg_pt(o):
+            return center + knee + R_leg @ np.asarray(o, np.float64)
+
+        def foot_pt(o):
+            return center + R_foot @ np.asarray(o, np.float64)
+
+        N = cfg.step_num
+        kp = []   # (frame, target, candidates)
+        kp.append((N, foot_pt((0, foot_len, -r)), [2, 20, 336, 792, 995]))
+        toe_pts = [865, 420, 946, 250, 80]
+        kp.append((N, foot_pt((0, -r, 0)), toe_pts))
+        kp.append((N, foot_pt((0, foot_len * 0.5, r)), [282, 343, 249]))
+        top_front = [104, 27, 43, 475, 392, 903, 416, 413, 895]
+        top_left = [11, 30, 164, 755, 30]
+        top_right = [563, 43, 474, 14]
+        opening_back = [102, 81, 842, 318, 12]
+        kp.append((N, leg_pt((0, leg_len, r)), top_front))
+        kp.append((N, leg_pt((-r, leg_len, 0)), top_left))
+        kp.append((N, leg_pt((r, leg_len, 0)), top_right))
+        kp.append((N, leg_pt((0, leg_len, -r)), opening_back))
+        kp.append((N, leg_pt((0, leg_len * 0.4, -r)), [37, 241, 349]))
+        for i in range(3):   # opening weighting (:115-120)
+            fr = int(N * 0.62) + i
+            kp.append((fr, foot_pt((0, -r, 0)), top_front))
+            kp.append((fr, foot_pt((0, 0, -r)), opening_back))
+            kp.append((fr, foot_pt((-r, 0, 0)), top_left))
+            kp.append((fr, foot_pt((r, 0, 0)), top_right))
+        C = max(len(c) for _, _, c in kp)
+        frames = np.array([f for f, _, _ in kp], np.int32)
+        targets = np.stack([t for _, t, _ in kp])
+        cands = np.full((len(kp), C), -1, np.int32)
+        for i, (_, _, c) in enumerate(kp):
+            cands[i, :len(c)] = c
+        loss_info = dataclasses.replace(
+            loss_info,
+            keypoint_frames=jnp.asarray(frames),
+            keypoint_targets=jnp.asarray(targets, dtype),
+            keypoint_candidates=jnp.asarray(cands))
+        # CORNERS_2_WEARSOCK spline endpoints (Simulation.cpp:2024-2053):
+        # translation from sock top to foot top, yUp = -28
+        foot_top = center + np.array([0.0, leg_len + 2 * r, 0.0])
+        sock_top = np.array([
+            0.5 * (scene.rest_min[0] + scene.rest_max[0]),
+            scene.rest_max[1], scene.rest_min[2] + r])
+        translation = foot_top - sock_top
+        from diffcloth_tpu.core import spline as spl
+        p1 = jnp.asarray(scene.stages[0].fixed_pos_rest + translation, dtype)
+        yup = jnp.full((p1.shape[0],), -28.0, dtype)
+        base = base._replace(spline=spl.default_params_from_endpoints(
+            sim.stage_dev.spline_p0, p1, yup))
+        param_gt = base
     else:
         raise KeyError(demo)
 
@@ -170,4 +317,5 @@ def build_task(demo: str, dtype=jnp.float32, **sim_kwargs) -> TaskSetup:
         loss_info = dataclasses.replace(loss_info, target_x=gt_x)
 
     return TaskSetup(sim=sim, mask=mask, loss_type=loss_type,
-                     loss_info=loss_info, param_gt=param_gt, name=demo)
+                     loss_info=loss_info, param_gt=param_gt,
+                     param_base=base, name=demo)
