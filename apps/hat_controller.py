@@ -1,0 +1,210 @@
+"""Closed-loop NN hat-dressing controller — JAX/optax-native.
+
+reference: src/python_code/hatController.py (app), clothNN/controller.py
+(tanh-MLP with orthogonal init), common.py:61-78 (rollout with action-delta
+clamp in [-0.1, 0.1]).
+
+TPU-first redesign: instead of a per-step torch<->C++ crossing, the whole
+closed-loop rollout (controller + simulator step) is one `lax.scan` inside
+jit — the policy gradient flows through the implicit-adjoint step VJPs, and
+training batches vmap over sampled initial poses.  The torch bridge
+(api/torch_bridge.py) remains available for the reference's original
+workflow.
+
+Usage: python apps/hat_controller.py [--epochs N] [--train-samples K]
+       [--eval] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--train-samples", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override horizon (default: scene's 400)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=2e-4)  # hatController.py:233
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--out", default="output/hat_controller")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from diffcloth_tpu.tasks.setup import build_task
+
+    task = build_task("hat", dtype=jnp.float32)
+    sim = task.sim
+    if args.steps is not None:
+        sim.n_steps = args.steps
+    n_steps = args.steps or sim.n_steps
+    params_sim = task.param_base
+    p_inv = sim.p_inv(params_sim)
+    dtype = sim.dtype
+
+    head_center = jnp.asarray(sim.prims.center[0], dtype)
+    head_radius = float(sim.prims.radius[0])
+    attach_idx = np.asarray(sim.stage_host.particle_idx)
+    ndof_u = 3 * len(attach_idx)
+    x0 = params_sim.x0
+    clip0 = sim.stage_dev.fixed_pos_rest.astype(dtype)        # (F,3)
+    target = jnp.asarray(task.loss_info.x_init, dtype) + \
+        jnp.asarray(task.loss_info.target_translation, dtype)  # (n,3)
+    # CLIP_DIR_VERTEX_PAIR (hatController.py:211)
+    dir_pairs = np.array([[394, 562], [32, 108]])
+    clip_rest_dist = float(jnp.linalg.norm(clip0[1] - clip0[0]))
+
+    # ----------------------------------------------------------- featurize
+    # reference getState (hatController.py:137-154): [x - target,
+    # head-projection of cloth mean, elevation vector, mean velocity,
+    # clip direction vectors]
+
+    def featurize(x, v):
+        x_mean = jnp.mean(x, axis=0)
+        v_mean = jnp.mean(v, axis=0)
+        elev = head_radius * (x_mean - head_center) / jnp.maximum(
+            jnp.linalg.norm(x_mean - head_center), 1e-9)
+        proj = elev + head_center
+        dirs = (x[dir_pairs[:, 0]] - x[dir_pairs[:, 1]]).reshape(-1)
+        return jnp.concatenate([(x - target).reshape(-1), proj, elev,
+                                v_mean, dirs])
+
+    feat_dim = int(featurize(x0, jnp.zeros_like(x0)).shape[0])
+    widths = [feat_dim, 64, 64, ndof_u]   # hatController.py:232
+
+    # tanh MLP, orthogonal init, tiny last layer (clothNN/controller.py)
+    def init_net(key):
+        ws = []
+        for i in range(len(widths) - 1):
+            key, k = jax.random.split(key)
+            gain = 5.0 / 3.0 if i < len(widths) - 2 else (5.0 / 3.0) * 0.001
+            w = jax.nn.initializers.orthogonal(gain)(
+                k, (widths[i], widths[i + 1]), dtype)
+            ws.append({"w": w, "b": jnp.zeros((widths[i + 1],), dtype)})
+        return ws
+
+    def net(ws, s):
+        h = s
+        for i, layer in enumerate(ws):
+            h = h @ layer["w"] + layer["b"]
+            if i < len(ws) - 1:
+                h = jnp.tanh(h)
+        return h
+
+    # ------------------------------------------------------------- rollout
+    V_MIN, V_MAX = -0.1, 0.1   # action-delta clamp (common.py:63)
+
+    def rollout(ws, x_init, a_init):
+        def body(carry, idx_f):
+            x, v, a = carry
+            s = featurize(x, v)
+            out = jnp.clip(net(ws, s), -1.0, 1.0)
+            delta = (out + 1.0) / 2.0 * (V_MAX - V_MIN) + V_MIN
+            a = a + delta.reshape(-1, 3)
+            x2, v2, aux = sim.step(x, v, params_sim, a, p_inv,
+                                   idx_f * sim.h, idx_f)
+            return (x2, v2, a), (x2[attach_idx], x2)
+
+        idx_f = jnp.arange(1, n_steps + 1, dtype=dtype)
+        (xN, vN, aN), (clip_traj, _) = jax.lax.scan(
+            body, (x_init, jnp.zeros_like(x_init), a_init), idx_f)
+        return xN, vN, clip_traj
+
+    # composite loss (hatController.py:54-76): stretch + direction +
+    # smooth-L1 target
+    def smooth_l1(a, b):
+        d = a - b
+        ad = jnp.abs(d)
+        return jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
+
+    def episode_loss(ws, x_init, a_init):
+        xN, vN, clip_traj = rollout(ws, x_init, a_init)
+        clip_dist = jnp.linalg.norm(clip_traj[:, 1] - clip_traj[:, 0],
+                                    axis=-1)
+        stretch = jnp.sum(
+            jnp.clip(jnp.abs(clip_dist - clip_rest_dist) - 1.0, 0.0)) * 0.2
+        dirs = xN[dir_pairs[:, 0]] - xN[dir_pairs[:, 1]]
+        goal_dirs = target[dir_pairs[:, 0]] - target[dir_pairs[:, 1]]
+        cos = jnp.sum(
+            dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True) *
+            goal_dirs / jnp.linalg.norm(goal_dirs, axis=-1, keepdims=True),
+            axis=-1)
+        direction = jnp.sum((0.5 - jnp.clip(cos, None, 0.5)) * 3.0)
+        target_l = smooth_l1(xN.reshape(-1), target.reshape(-1))
+        return stretch + direction + target_l, target_l
+
+    # initial-pose sampling on a sphere around the head
+    # (hatController.py:18-28)
+    cloth_center = np.asarray(x0).mean(axis=0)
+    head_np = np.asarray(head_center)
+    diff = head_np - cloth_center
+    dist = float(np.linalg.norm([diff[0], diff[2]])) + 3.0
+
+    def sample_pose(rng):
+        xz = rng.uniform(0, 2 * math.pi)
+        y = math.radians(rng.uniform(0, 90))
+        point = np.array([dist * math.cos(y) * math.cos(xz),
+                          0.0,
+                          dist * math.cos(y) * math.sin(xz)])
+        point[1] = dist * math.sin(y)
+        center = head_np.copy()
+        center[1] = cloth_center[1]
+        translation = (point + center) - cloth_center
+        return (jnp.asarray(np.asarray(x0) + translation, dtype),
+                jnp.asarray(np.asarray(clip0) + translation, dtype))
+
+    batched_loss = jax.jit(
+        lambda ws, xs, aas: jax.tree.map(
+            lambda l: jnp.mean(l),
+            jax.vmap(lambda x, a: episode_loss(ws, x, a)[0])(xs, aas)))
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda ws, xs, aas: jnp.mean(
+            jax.vmap(lambda x, a: episode_loss(ws, x, a)[0])(xs, aas))))
+
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    ws = init_net(key)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(args.lr))
+    opt_state = opt.init(ws)
+
+    os.makedirs(args.out, exist_ok=True)
+    log = []
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        poses = [sample_pose(rng) for _ in range(args.train_samples)]
+        xs = jnp.stack([p[0] for p in poses])
+        aas = jnp.stack([p[1] for p in poses])
+        loss, grads = grad_fn(ws, xs, aas)
+        updates, opt_state = opt.update(grads, opt_state)
+        ws = optax.apply_updates(ws, updates)
+        log.append(float(loss))
+        print(f"epoch {epoch}: loss {float(loss):.5f} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+        with open(os.path.join(args.out, "log.json"), "w") as fh:
+            json.dump(log, fh)
+        with open(os.path.join(args.out, "controller.pkl"), "wb") as fh:
+            pickle.dump(jax.tree.map(np.asarray, ws), fh)
+
+    print("done; best train loss", min(log))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""CLI mirroring the reference binary's interface.
+
+reference: src/code/main.cpp:115-150 —
+  ./DiffCloth -demo {wind,tshirt,sphere,hat,sock,slope,dress}
+              -mode {optimize,simulate} -seed N -exp NAME
+
+Usage:
+  python apps/optimize.py --demo tshirt --mode optimize [--seed N]
+                          [--maxiter M] [--exp NAME] [--cpu] [--x64]
+  python apps/optimize.py --demo tshirt --mode simulate   # forward only
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--demo", required=True,
+                    choices=["wind", "tshirt", "sphere", "hat", "sock",
+                             "slope", "dress"])
+    ap.add_argument("--mode", default="optimize",
+                    choices=["optimize", "simulate"])
+    ap.add_argument("--seed", type=int, default=None,
+                    help="random-restart seed (omit for default guess)")
+    ap.add_argument("--maxiter", type=int, default=100)
+    ap.add_argument("--exp", default=None, help="experiment name")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--x64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    exp = args.exp or f"{args.demo}-{time.strftime('%Y%m%d-%H%M%S')}"
+    out_dir = os.path.join("output", exp)
+
+    if args.mode == "simulate":
+        from diffcloth_tpu.geometry import objio
+        from diffcloth_tpu.tasks.setup import build_task
+        task = build_task(args.demo, dtype=dtype)
+        t0 = time.time()
+        recs = task.sim.rollout(task.param_base)
+        jax.block_until_ready(recs.steps.x)
+        el = time.time() - t0
+        conv = int(np.asarray(recs.steps.converged).sum())
+        print(f"forward: {task.sim.n_steps} steps in {el:.1f}s "
+              f"({task.sim.n_steps / el:.1f} steps/s), converged "
+              f"{conv}/{task.sim.n_steps}, mean iters "
+              f"{float(np.asarray(recs.steps.iters).mean()):.0f}")
+        objio.export_frames(out_dir, np.asarray(recs.full_x()),
+                            task.sim.scene_host.tris)
+        print("exported frames to", out_dir)
+        return
+
+    from diffcloth_tpu.optim.solver import solve_demo
+    res = solve_demo(args.demo, seed=args.seed, maxiter=args.maxiter,
+                     dtype=dtype, export_dir=out_dir)
+    r = res.result
+    print(f"demo={args.demo} evals={r.n_evals} iters={r.n_iters} "
+          f"loss {r.loss_history[0]:.6f} -> {r.loss:.6f} "
+          f"({res.wallclock_s:.0f}s)")
+    print("x* =", np.array2string(r.x, precision=5))
+    print("exported to", out_dir)
+
+
+if __name__ == "__main__":
+    main()
