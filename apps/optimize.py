@@ -26,14 +26,37 @@ def main():
                     choices=["wind", "tshirt", "sphere", "hat", "sock",
                              "slope", "dress"])
     ap.add_argument("--mode", default="optimize",
-                    choices=["optimize", "simulate"])
+                    choices=["optimize", "simulate", "visualize"])
     ap.add_argument("--seed", type=int, default=None,
                     help="random-restart seed (omit for default guess)")
+    ap.add_argument("--restarts", type=int, default=0,
+                    help="number of validity-filtered random restarts "
+                         "(reference OptimizeHelper.cpp:316-359)")
     ap.add_argument("--maxiter", type=int, default=100)
     ap.add_argument("--exp", default=None, help="experiment name")
+    ap.add_argument("--gif", action="store_true",
+                    help="with --mode visualize: write episode.gif")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
     args = ap.parse_args()
+
+    if args.mode == "visualize":
+        # offline replay of an exported run: the -mode visualize path
+        # (reference main.cpp:33-45 renderFromFolder -> Viewer)
+        from diffcloth_tpu.io import export as ioexp
+        from diffcloth_tpu.io import viewer
+        folder = os.path.join("output", args.exp) if args.exp else None
+        if not folder or not os.path.isdir(folder):
+            raise SystemExit("--mode visualize requires --exp pointing at "
+                             "an exported folder under output/")
+        sub = os.path.join(folder, "final")
+        src = sub if os.path.isdir(sub) else folder
+        xs, tris, info = ioexp.import_episode(src)
+        out = (os.path.join(folder, "episode.gif") if args.gif
+               else os.path.join(folder, "pngs"))
+        viewer.render_episode(xs, tris, out)
+        print(f"rendered {xs.shape[0]} frames -> {out}")
+        return
 
     import jax
     if args.cpu:
@@ -67,7 +90,8 @@ def main():
 
     from diffcloth_tpu.optim.solver import solve_demo
     res = solve_demo(args.demo, seed=args.seed, maxiter=args.maxiter,
-                     dtype=dtype, export_dir=out_dir)
+                     dtype=dtype, export_dir=out_dir,
+                     n_restarts=args.restarts)
     r = res.result
     print(f"demo={args.demo} evals={r.n_evals} iters={r.n_iters} "
           f"loss {r.loss_history[0]:.6f} -> {r.loss:.6f} "

@@ -141,6 +141,10 @@ class SceneConfig:
     forward_convergence_thresh: float = 1e-8
     backward_convergence_thresh: float = 5e-4
     sock_leg_orientation: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    # WIND_SIN_AND_FALLOFF / WIND_FACTOR_PER_STEP: per-particle wind falloff
+    # min(1/|focus - x_rest|, 1) from this focus point (reference sim2real
+    # scene setup, Simulation.cpp:3125-3131)
+    wind_falloff_focus: Optional[Tuple[float, float, float]] = None
     name: str = "scene"
 
 

@@ -79,26 +79,22 @@ def project_stretch(x: jnp.ndarray, tri_idx: jnp.ndarray,
     device by the caller)."""
     if tri_idx.shape[0] == 0:
         return jnp.zeros((0, 3), x.dtype)
+    from diffcloth_tpu.core.dense_ops import corot_project_cols
     p0 = x[tri_idx[:, 0]]
     p1 = x[tri_idx[:, 1]]
     p2 = x[tri_idx[:, 2]]
     e1 = p1 - p0                                 # (T,3)
     e2 = p2 - p0
-    F = jnp.stack([e1, e2], axis=-1) @ inv_duv.astype(x.dtype)  # (T,3,2)
-    # current-configuration orthonormal frame (Triangle.cpp:338-341 uses the
-    # columns of F itself for the frame)
-    a = F[..., 0]
-    q0 = a / jnp.linalg.norm(a, axis=-1, keepdims=True).clip(EPS)
-    bvec = F[..., 1]
-    bperp = bvec - jnp.sum(bvec * q0, -1, keepdims=True) * q0
-    q1 = bperp / jnp.linalg.norm(bperp, axis=-1, keepdims=True).clip(EPS)
-    Q = jnp.stack([q0, q1], axis=-1)             # (T,3,2)
-    F2 = jnp.einsum("tds,tdc->tsc", Q, F)        # (T,2,2) = Q^T F
-    R = polar_2x2(F2)
-    newF = jnp.einsum("tds,tsc->tdc", Q, R)      # (T,3,2)
+    u = inv_duv.astype(x.dtype)
+    # deformation-gradient columns F[:, i] = e1*u[0,i] + e2*u[1,i]
+    a = e1 * u[:, 0, 0][:, None] + e2 * u[:, 1, 0][:, None]
+    b = e1 * u[:, 0, 1][:, None] + e2 * u[:, 1, 1][:, None]
+    # co-rotational projection in the current-configuration frame
+    # (Triangle.cpp:338-349); closed-form polar, see corot_project_cols
+    c0, c1 = corot_project_cols(a, b)
     sw = jnp.sqrt(area).astype(x.dtype)[:, None]
     # rows interleave: for triangle t, row 2t = column 0, row 2t+1 = column 1
-    p = jnp.stack([newF[..., 0] * sw, newF[..., 1] * sw], axis=1)  # (T,2,3)
+    p = jnp.stack([c0 * sw, c1 * sw], axis=1)    # (T,2,3)
     return p.reshape(-1, 3)
 
 

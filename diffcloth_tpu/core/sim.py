@@ -29,6 +29,18 @@ from diffcloth_tpu.core.types import (EpisodeRecords, SceneDev, SimParams,
 from diffcloth_tpu.geometry import builder as gb
 
 
+def _wind_falloff(scene: gb.Scene) -> np.ndarray:
+    """Per-particle wind attenuation min(1/|focus - x|, 1) (reference
+    sim2real setup, Simulation.cpp:3125-3131 — the variable is named
+    distSquared there but holds the norm; behavior mirrored)."""
+    focus = getattr(scene.cfg, "wind_falloff_focus", None)
+    if focus is None:
+        return np.ones((scene.n, 3))
+    dist = np.linalg.norm(np.asarray(focus)[None, :] - scene.x_rest, axis=-1)
+    fall = np.minimum(1.0 / np.maximum(dist, 1e-12), 1.0)
+    return np.repeat(fall[:, None], 3, axis=1)
+
+
 def scene_to_device(scene: gb.Scene, dtype=jnp.float32) -> SceneDev:
     s_rows = gb.stretch_rows(scene.triangle)
     b_rows = gb.bend_rows(scene.bending)
@@ -47,7 +59,7 @@ def scene_to_device(scene: gb.Scene, dtype=jnp.float32) -> SceneDev:
         area=f(scene.area),
         radii=f(scene.radii),
         x_rest=f(scene.x_rest),
-        wind_falloff=jnp.ones((scene.n, 3), dtype),
+        wind_falloff=f(_wind_falloff(scene)),
     )
 
 
@@ -83,7 +95,8 @@ class ClothSim:
                  eps_backward: Optional[float] = None,
                  max_forward_iters: Optional[int] = None,
                  solve_fn=None, self_cap_pairs: Optional[int] = None,
-                 self_max_layers: int = 16):
+                 self_max_layers: int = 16,
+                 dense_ops: Optional[bool] = None):
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
@@ -132,12 +145,23 @@ class ClothSim:
                 max_layers=self_max_layers)
         self.self_cfg = self_cfg
 
+        # dense MXU constraint operators: default on up to a size where the
+        # O(R*n) operator memory stays cheap; gather/scatter path above that
+        # (profiling: dense is ~8x faster per PD iteration at tshirt scale,
+        # see core/dense_ops.py)
+        if dense_ops is None:
+            dense_ops = scene.n <= 4096
+        self.dense = None
+        if dense_ops:
+            from diffcloth_tpu.core import dense_ops as dn
+            self.dense = dn.build_dense_ops(scene, self.stage_host, dtype)
+
         self.step, self.residual = step_mod.make_step(
             self.scene_dev, self.stage_dev, self.prims,
             h=self.h, wind_config=cfg.wind_config, flags=self.flags,
             eps_forward=self.eps_forward, eps_backward=self.eps_backward,
             max_forward_iters=max_forward_iters, solve_fn=solve_fn,
-            self_cfg=self_cfg)
+            self_cfg=self_cfg, dense=self.dense)
 
     # ------------------------------------------------------------------ params
 
@@ -210,20 +234,27 @@ class ClothSim:
         """Full rollout: frame 0 (initial state, forwardRecords[0]) plus the
         scan-stacked records for steps 1..N."""
         h = self.h
+        from diffcloth_tpu.core import diagnostics as diag
 
         def body(carry, inp):
-            x, v = carry
+            x, v, frozen = carry
             x_fixed, idx_f = inp
             t = idx_f * h
             x2, v2, aux = self.step(x, v, params, x_fixed, p_inv, t, idx_f)
+            # explosion freeze: once the state blows up, the remaining
+            # rollout passes through unchanged (Simulation.cpp:1415-1424)
+            frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
+            x2 = jnp.where(frozen, x, x2)
+            v2 = jnp.where(frozen, v, v2)
             rec = StepRecord(x=x2, v=v2, f=aux.f, r=aux.r, x_fixed=x_fixed,
                              converged=aux.converged, iters=aux.iters,
                              avg_deformation=aux.avg_deformation)
-            return (x2, v2), rec
+            return (x2, v2, frozen), rec
 
         idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)
-        (_, _), recs = jax.lax.scan(
-            body, (params.x0, params.v0), (x_fixed_seq, idx_f))
+        (_, _, _), recs = jax.lax.scan(
+            body, (params.x0, params.v0, jnp.asarray(False)),
+            (x_fixed_seq, idx_f))
         return EpisodeRecords(x0=params.x0, v0=params.v0, steps=recs)
 
     def rollout(self, params: SimParams) -> EpisodeRecords:
@@ -244,16 +275,22 @@ class ClothSim:
         identical to `simulate`."""
         h = self.h
 
+        from diffcloth_tpu.core import diagnostics as diag
+
         def body(carry, inp):
-            x, v = carry
+            x, v, frozen = carry
             x_fixed, idx_f = inp
             x2, v2, aux = self.step(x, v, params, x_fixed, p_inv,
                                     idx_f * h, idx_f)
-            return (x2, v2), (aux.converged, aux.iters)
+            frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
+            x2 = jnp.where(frozen, x, x2)
+            v2 = jnp.where(frozen, v, v2)
+            return (x2, v2, frozen), (aux.converged, aux.iters)
 
         idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)
-        (xN, vN), (conv, iters) = jax.lax.scan(
-            body, (params.x0, params.v0), (x_fixed_seq, idx_f))
+        (xN, vN, _), (conv, iters) = jax.lax.scan(
+            body, (params.x0, params.v0, jnp.asarray(False)),
+            (x_fixed_seq, idx_f))
         return xN, vN, conv, iters
 
     def episode_value_and_grad(self, loss_fn):

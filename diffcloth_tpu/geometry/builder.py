@@ -427,7 +427,13 @@ def collision_radii(n: int, x_rest: np.ndarray, tris: np.ndarray) -> np.ndarray:
 def adjacency_exclusion(n: int, tris: np.ndarray) -> np.ndarray:
     """Boolean (n,n) table of mesh-adjacent pairs excluded from self-collision
     (reference: pointpointConnectionTable, Simulation.cpp:2228-2240)."""
+    try:  # native fast path (validated identical; native/fastobj)
+        from diffcloth_tpu.native import fastobj as _fo
+        return _fo.conn_table(tris, n)
+    except Exception:
+        pass
     conn = np.zeros((n, n), dtype=bool)
+    np.fill_diagonal(conn, True)
     for t in tris:
         for i in range(3):
             for j in range(3):

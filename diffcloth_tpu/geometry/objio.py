@@ -60,6 +60,13 @@ def save_obj(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
     """Write an OBJ frame (used for trajectory export / offline viewing)."""
     verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
     tris = np.asarray(tris, dtype=np.int64).reshape(-1, 3)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if _fastobj is not None:
+        try:
+            _fastobj.save_obj(path, verts, tris)
+            return
+        except Exception:
+            pass
     lines = []
     for v in verts:
         lines.append(f"v {v[0]:.8f} {v[1]:.8f} {v[2]:.8f}")

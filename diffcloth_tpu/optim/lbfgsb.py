@@ -32,17 +32,27 @@ def minimize_lbfgsb(loss_and_grad: Callable[[np.ndarray],
                     x0: np.ndarray, lower: np.ndarray, upper: np.ndarray,
                     *, ftol: float = 1e-3, m: int = 10,
                     max_linesearch: int = 20, gtol: float = 1e-12,
-                    maxiter: int = 100) -> LbfgsResult:
+                    maxiter: int = 100,
+                    callback: Optional[Callable[[int, np.ndarray],
+                                                None]] = None) -> LbfgsResult:
+    """`callback(iteration, x)` fires once per L-BFGS iteration — the
+    checkpoint hook (reference saveLastIter, OptimizeHelper.cpp:528-533)."""
     history: List[float] = []
+    it_count = [0]
 
     def fun(x):
         L, g = loss_and_grad(x)
         history.append(L)
         return L, np.asarray(g, np.float64)
 
+    def cb(xk):
+        it_count[0] += 1
+        if callback is not None:
+            callback(it_count[0], np.asarray(xk))
+
     res = minimize(
         fun, np.asarray(x0, np.float64), jac=True, method="L-BFGS-B",
-        bounds=list(zip(lower, upper)),
+        bounds=list(zip(lower, upper)), callback=cb,
         options=dict(ftol=ftol, maxcor=m, maxls=max_linesearch,
                      gtol=gtol, maxiter=maxiter))
     return LbfgsResult(x=res.x, loss=float(res.fun), n_iters=int(res.nit),

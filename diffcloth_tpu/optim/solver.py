@@ -29,12 +29,20 @@ class DemoResult:
 
 def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
                dtype=None, export_dir: Optional[str] = None,
+               n_restarts: int = 0, checkpoint_dir: Optional[str] = None,
+               resume: bool = False,
                **task_kwargs) -> DemoResult:
     """Run one trajectory/parameter optimization demo end-to-end.
 
     seed=None starts from the reference's default guess (param_guess:
     splines translated, otherwise mid-bounds); an integer seed draws a
-    bounded random restart (reference `-seed N`, main.cpp:115-150)."""
+    bounded random restart (reference `-seed N`, main.cpp:115-150).
+
+    n_restarts>0 samples that many bounded random candidates, forward-
+    simulates each, filters out invalid ones (non-finite loss — the
+    reference's validity filters reject exploded/degenerate rollouts,
+    OptimizeHelper.cpp:316-359,445-488) and starts L-BFGS from the
+    lowest-loss valid candidate."""
     import jax.numpy as jnp
 
     import numpy as _np
@@ -67,10 +75,35 @@ def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
         bad = (x0 < lb) | (x0 > ub)
         x0 = np.where(bad, mid, x0)
 
+    if n_restarts > 0:
+        base_seed = 0 if seed is None else seed
+        best, best_loss = x0, float(helper.loss(x0))
+        for i in range(n_restarts):
+            cand = helper.random_param(base_seed + 1 + i)
+            li = float(helper.loss(cand))
+            if np.isfinite(li) and li < best_loss:
+                best, best_loss = cand, li
+        x0 = best
+
+    done_iters = 0
+    cb = None
+    if checkpoint_dir:
+        from diffcloth_tpu.utils import checkpoint as ckpt
+        if resume:
+            step = ckpt.latest_step(checkpoint_dir)
+            if step is not None:
+                done_iters, state = ckpt.restore_checkpoint(checkpoint_dir,
+                                                            step)
+                x0 = np.asarray(state["x"], np.float64)
+
+        def cb(it, xk):
+            ckpt.save_checkpoint(checkpoint_dir, done_iters + it,
+                                 {"x": xk}, metadata={"demo": demo})
+
     t0 = time.time()
     res = minimize_lbfgsb(helper.loss_and_grad, x0,
                           helper.lower_bound, helper.upper_bound,
-                          maxiter=maxiter)
+                          maxiter=max(maxiter - done_iters, 1), callback=cb)
     wall = time.time() - t0
 
     if export_dir:
