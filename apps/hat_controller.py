@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)  # hatController.py:233
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in --out "
+                         "(reference --train_resume --load_epoch, "
+                         "hatController.py:249-250)")
     ap.add_argument("--out", default="output/hat_controller")
     args = ap.parse_args()
 
@@ -185,9 +189,29 @@ def main():
                       optax.adam(args.lr))
     opt_state = opt.init(ws)
 
+    from diffcloth_tpu.utils import checkpoint as ckpt
     os.makedirs(args.out, exist_ok=True)
+    ckpt_dir = os.path.join(args.out, "ckpts")
     log = []
-    for epoch in range(args.epochs):
+    start_epoch = 0
+    best = float("inf")
+    if args.resume and ckpt.latest_step(ckpt_dir) is not None:
+        start_epoch, state = ckpt.restore_checkpoint(
+            ckpt_dir, like={"ws": ws, "opt_state": opt_state,
+                            "rng": rng.get_state()[1], "best": np.zeros(())})
+        ws = jax.tree.map(jnp.asarray, state["ws"])
+        opt_state = jax.tree.map(
+            lambda a, l: jnp.asarray(a, getattr(l, "dtype", None))
+            if hasattr(l, "dtype") else a, state["opt_state"], opt_state)
+        rng.set_state(("MT19937", np.asarray(state["rng"], np.uint32),
+                       624, 0, 0.0))
+        best = float(state["best"])
+        if os.path.exists(os.path.join(args.out, "log.json")):
+            with open(os.path.join(args.out, "log.json")) as fh:
+                log = json.load(fh)[:start_epoch]
+        print(f"resumed from epoch {start_epoch} (best {best:.5f})")
+
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         poses = [sample_pose(rng) for _ in range(args.train_samples)]
         xs = jnp.stack([p[0] for p in poses])
@@ -200,10 +224,17 @@ def main():
               f"({time.time() - t0:.1f}s)", flush=True)
         with open(os.path.join(args.out, "log.json"), "w") as fh:
             json.dump(log, fh)
-        with open(os.path.join(args.out, "controller.pkl"), "wb") as fh:
-            pickle.dump(jax.tree.map(np.asarray, ws), fh)
+        if float(loss) < best:  # best-epoch controller (hatController:156-185)
+            best = float(loss)
+            with open(os.path.join(args.out, "controller.pkl"), "wb") as fh:
+                pickle.dump(jax.tree.map(np.asarray, ws), fh)
+        ckpt.save_checkpoint(
+            ckpt_dir, epoch + 1,
+            {"ws": ws, "opt_state": opt_state, "rng": rng.get_state()[1],
+             "best": np.asarray(best)},
+            metadata={"loss": float(loss)})
 
-    print("done; best train loss", min(log))
+    print("done; best train loss", best if log else None)
 
 
 if __name__ == "__main__":
