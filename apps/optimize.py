@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", required=True,
-                    choices=["wind", "tshirt", "sphere", "hat", "sock",
-                             "slope", "dress"])
+                    choices=["wind", "wind_sim2real", "tshirt", "sphere",
+                             "hat", "sock", "slope", "dress"])
     ap.add_argument("--mode", default="optimize",
                     choices=["optimize", "simulate", "visualize"])
     ap.add_argument("--seed", type=int, default=None,

@@ -56,7 +56,7 @@ def main():
     batched_chunk = jax.jit(jax.vmap(chunk_rollout,
                                      in_axes=(0, 0, 0, None, None)))
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256  # throughput peak
     winds = jnp.asarray(
         np.random.RandomState(0).randn(B, 3) * 0.02 +
         np.array([0.04, 0.004, 0.04]), jnp.float32)

@@ -120,6 +120,9 @@ class FabricConfig:
     is_model: bool = False
     custom_init_pos: bool = False
     init_pos_file: str = ""
+    # add per-edge length springs (reference Spring element — deprecated
+    # there in favor of Triangle, kept for capability parity)
+    use_spring_constraints: bool = False
     name: str = "fabric"
 
 

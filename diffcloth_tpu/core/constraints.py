@@ -99,6 +99,19 @@ def project_stretch(x: jnp.ndarray, tri_idx: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# spring (per-edge length) projection
+
+def project_spring(y_sp: jnp.ndarray, l0: jnp.ndarray) -> jnp.ndarray:
+    """p = l0 * normalize(x_i - x_j) from the spring rows y = A_sp x
+    (reference: Spring::project, Spring.cpp:92-97; weight sqrt(k) applied
+    per-type by the caller)."""
+    if y_sp.shape[0] == 0:
+        return y_sp
+    en = jnp.linalg.norm(y_sp, axis=-1, keepdims=True).clip(EPS)
+    return l0.astype(y_sp.dtype)[:, None] * y_sp / en
+
+
+# ---------------------------------------------------------------------------
 # bending: cotan hinge projection
 
 def project_bend(x: jnp.ndarray, b_idx: jnp.ndarray, w_vert: jnp.ndarray,
@@ -134,10 +147,15 @@ def apply_AtA(scene, stage, k_pertype, v):
     out = out + k_pertype[1] * apply_rows_t(
         stage.attach_idx, stage.attach_w,
         apply_rows(stage.attach_idx, stage.attach_w, v), n)
+    if scene.sp_rows_idx.shape[0] > 0:
+        out = out + k_pertype[0] * apply_rows_t(
+            scene.sp_rows_idx, scene.sp_rows_w,
+            apply_rows(scene.sp_rows_idx, scene.sp_rows_w, v), n)
     return out
 
 
-def apply_At_p(scene, stage, k_pertype, p_stretch, p_bend, p_attach, n):
+def apply_At_p(scene, stage, k_pertype, p_stretch, p_bend, p_attach, n,
+               p_spring=None):
     """A^T p with weighted projections: sum_t k_t * A0_t^T p0_t."""
     out = k_pertype[2] * apply_rows_t(scene.s_rows_idx, scene.s_rows_w,
                                       p_stretch, n)
@@ -145,13 +163,19 @@ def apply_At_p(scene, stage, k_pertype, p_stretch, p_bend, p_attach, n):
                                             p_bend, n)
     out = out + k_pertype[1] * apply_rows_t(stage.attach_idx, stage.attach_w,
                                             p_attach, n)
+    if p_spring is not None and scene.sp_rows_idx.shape[0] > 0:
+        out = out + k_pertype[0] * apply_rows_t(
+            scene.sp_rows_idx, scene.sp_rows_w, p_spring, n)
     return out
 
 
 def all_projections(scene, stage, x, x_fixed):
-    """Compute all weightless projections at configuration x."""
+    """Compute all weightless projections at configuration x.
+    Returns (p_stretch, p_bend, p_attach, p_spring)."""
     p_s = project_stretch(x, scene.tri_idx, scene.tri_inv_duv, scene.tri_area)
     p_b = project_bend(x, scene.b_rows_idx, scene.b_w_vert, scene.b_n_rest,
                        scene.b_sw)
     p_a = x_fixed  # AttachmentSpring::project = weight * fixed position
-    return p_s, p_b, p_a
+    p_sp = project_spring(
+        apply_rows(scene.sp_rows_idx, scene.sp_rows_w, x), scene.sp_l0)
+    return p_s, p_b, p_a, p_sp

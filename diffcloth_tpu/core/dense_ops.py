@@ -41,6 +41,21 @@ from diffcloth_tpu.core.constraints import EPS
 HI = jax.lax.Precision.HIGHEST
 
 
+def set_matmul_precision(precision) -> None:
+    """Set the MXU precision used by the dense operator matmuls (call
+    BEFORE building a ClothSim; baked at trace time).
+
+    'highest' (default): full-f32 passes — bitwise-stable physics.
+    'high': bf16x3 passes — measured +47% episode throughput on v5e with
+    identical PD convergence (strict eps, same iteration counts); individual
+    long-horizon trajectories diverge from the 'highest' ones at the rate
+    chaotic dynamics amplify any rounding change, so keep 'highest' when
+    comparing trajectories bit-for-bit."""
+    global HI
+    HI = (getattr(jax.lax.Precision, precision.upper())
+          if isinstance(precision, str) else precision)
+
+
 class DenseOps(NamedTuple):
     """Dense constraint operators for one attachment stage."""
     A_s: jnp.ndarray      # (2T, n) stretch rows (weightless)
@@ -49,7 +64,11 @@ class DenseOps(NamedTuple):
     A_bT: jnp.ndarray     # (n, Bn)
     A_a: jnp.ndarray      # (F, n) attachment rows
     A_aT: jnp.ndarray     # (n, F)
-    S: jnp.ndarray        # (3, n, n) per-type Gram [attach, stretch, bend]
+    A_sp: jnp.ndarray     # (S, n) spring rows (+1/-1)
+    A_spT: jnp.ndarray    # (n, S)
+    sp_l0: jnp.ndarray    # (S,) spring rest lengths
+    S: jnp.ndarray        # (4, n, n) per-type Gram
+    #                       [spring, attach, stretch, bend] = k_pertype order
     tri_sw: jnp.ndarray   # (T,) sqrt(rest area)
     b_scale: jnp.ndarray  # (Bn,) n_rest * sqrt(3/(A0+A1)), 0 where flat
 
@@ -78,20 +97,24 @@ def build_dense_ops(scene_host, stage_host, dtype=jnp.float32) -> DenseOps:
     s_rows = gb.stretch_rows(scene_host.triangle)
     b_rows = gb.bend_rows(scene_host.bending)
     a_rows = gb.attach_rows(stage_host)
+    sp_rows = gb.spring_rows(scene_host.springs)
     A_s = _rows_to_dense(s_rows.idx, s_rows.w, n)
     T2 = A_s.shape[0]
     perm = np.concatenate([np.arange(0, T2, 2), np.arange(1, T2, 2)])
     A_s = A_s[perm]
     A_b = _rows_to_dense(b_rows.idx, b_rows.w, n)
     A_a = _rows_to_dense(a_rows.idx, a_rows.w, n)
-    S = np.stack([A_a.T @ A_a, A_s.T @ A_s, A_b.T @ A_b])
+    A_sp = _rows_to_dense(sp_rows.idx, sp_rows.w, n)
+    S = np.stack([A_sp.T @ A_sp, A_a.T @ A_a, A_s.T @ A_s, A_b.T @ A_b])
     n_rest = scene_host.bending.n_rest
     sw_b = np.sqrt(3.0 / np.maximum(scene_host.bending.area_sum, 1e-30))
     b_scale = np.where(n_rest <= 1e-6, 0.0, n_rest * sw_b)
     f = lambda a: jnp.asarray(a, dtype)
     return DenseOps(
         A_s=f(A_s), A_sT=f(A_s.T), A_b=f(A_b), A_bT=f(A_b.T),
-        A_a=f(A_a), A_aT=f(A_a.T), S=f(S),
+        A_a=f(A_a), A_aT=f(A_a.T),
+        A_sp=f(A_sp), A_spT=f(A_sp.T), sp_l0=f(scene_host.springs.l0),
+        S=f(S),
         tri_sw=f(np.sqrt(scene_host.triangle.area)),
         b_scale=f(b_scale))
 
@@ -100,25 +123,28 @@ def build_dense_ops(scene_host, stage_host, dtype=jnp.float32) -> DenseOps:
 # forward operator applications (all MXU matmuls)
 
 def apply_A(dense: DenseOps, x):
-    """x (n,3) -> (y_s (2T,3), y_b (Bn,3), y_a (F,3))."""
+    """x (n,3) -> (y_s (2T,3), y_b (Bn,3), y_a (F,3), y_sp (S,3))."""
     y_s = jnp.matmul(dense.A_s, x, precision=HI)
     y_b = jnp.matmul(dense.A_b, x, precision=HI)
     y_a = jnp.matmul(dense.A_a, x, precision=HI)
-    return y_s, y_b, y_a
+    y_sp = jnp.matmul(dense.A_sp, x, precision=HI)
+    return y_s, y_b, y_a, y_sp
 
 
-def apply_At(dense: DenseOps, k_pertype, d_s, d_b, d_a):
+def apply_At(dense: DenseOps, k_pertype, d_s, d_b, d_a, d_sp=None):
     """sum_t k_t A_t^T d_t -> (n,3)."""
     out = k_pertype[2] * jnp.matmul(dense.A_sT, d_s, precision=HI)
     out = out + k_pertype[3] * jnp.matmul(dense.A_bT, d_b, precision=HI)
     out = out + k_pertype[1] * jnp.matmul(dense.A_aT, d_a, precision=HI)
+    if d_sp is not None and dense.A_sp.shape[0] > 0:
+        out = out + k_pertype[0] * jnp.matmul(dense.A_spT, d_sp,
+                                              precision=HI)
     return out
 
 
 def weighted_S(dense: DenseOps, k_pertype):
     """Sk = sum_t k_t S_t, hoisted once per step outside the PD loop."""
-    k = jnp.stack([k_pertype[1], k_pertype[2], k_pertype[3]])
-    return jnp.tensordot(k, dense.S, axes=1)
+    return jnp.tensordot(k_pertype, dense.S, axes=1)
 
 
 def apply_S(Sk, v):
@@ -179,8 +205,19 @@ def bend_proj_from_y(y_b, b_scale):
     return b_scale.astype(y_b.dtype)[:, None] * y_b / en
 
 
-def projections_from_y(dense: DenseOps, y_s, y_b, x_fixed):
+def spring_proj_from_y(y_sp, sp_l0):
+    """p = l0 * normalize(x_i - x_j); y_sp = A_sp x is exactly x_i - x_j
+    (Spring::project, Spring.cpp:92-97)."""
+    if y_sp.shape[0] == 0:
+        return y_sp
+    en = jnp.linalg.norm(y_sp, axis=-1, keepdims=True).clip(EPS)
+    return sp_l0.astype(y_sp.dtype)[:, None] * y_sp / en
+
+
+def projections_from_y(dense: DenseOps, y_s, y_b, x_fixed, y_sp=None):
     """All weightless projections, computed from y = A x."""
+    p_sp = (spring_proj_from_y(y_sp, dense.sp_l0) if y_sp is not None
+            else jnp.zeros((0, 3), y_s.dtype))
     return (stretch_proj_from_y(y_s, dense.tri_sw),
             bend_proj_from_y(y_b, dense.b_scale),
-            x_fixed)
+            x_fixed, p_sp)

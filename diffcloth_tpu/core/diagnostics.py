@@ -28,13 +28,15 @@ def constraint_energy(scene, stage, k_pertype, x, x_fixed):
     """sum_c E_c with E_c = 1/2 k_t |A0_t x - p0_t(x)|^2 per constraint type
     (the PD quadratic energy at the projection; reference per-constraint
     evaluateEnergy, Constraint.h:49-84)."""
-    p_s, p_b, p_a = cons.all_projections(scene, stage, x, x_fixed)
+    p_s, p_b, p_a, p_sp = cons.all_projections(scene, stage, x, x_fixed)
     y_s = cons.apply_rows(scene.s_rows_idx, scene.s_rows_w, x)
     y_b = cons.apply_rows(scene.b_rows_idx, scene.b_rows_w, x)
     y_a = cons.apply_rows(stage.attach_idx, stage.attach_w, x)
+    y_sp = cons.apply_rows(scene.sp_rows_idx, scene.sp_rows_w, x)
     e = 0.5 * (k_pertype[2] * jnp.sum((y_s - p_s) ** 2) +
                k_pertype[3] * jnp.sum((y_b - p_b) ** 2) +
-               k_pertype[1] * jnp.sum((y_a - p_a) ** 2))
+               k_pertype[1] * jnp.sum((y_a - p_a) ** 2) +
+               k_pertype[0] * jnp.sum((y_sp - p_sp) ** 2))
     return e
 
 

@@ -90,20 +90,23 @@ def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
     thresh = radii[i] + radii[j]
     hit = dmin < thresh
 
-    # compact to fixed capacity: active pairs first, in candidate order
-    # (stable sort keeps the reference's index ordering)
-    order = jnp.argsort(~hit, stable=True)
-    take = order[:cap_pairs]
-    mask = hit[take]
-    pi = jnp.where(mask, i[take], 0)
-    pj = jnp.where(mask, j[take], 0)
-    nrm = p0[take]
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
-                            1e-12)
-    nrm = jnp.where(mask[:, None], nrm, 0.0)
+    # compact to fixed capacity via cumsum positions + scatter (keeps
+    # candidate order like the reference's sequential scan; O(P) — a full
+    # argsort over 100k+ candidates dominated the step cost at small batch)
+    pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    tgt = jnp.where(hit & (pos < cap_pairs), pos, cap_pairs)  # cap -> drop
+    nrm_all = p0 / jnp.maximum(
+        jnp.linalg.norm(p0, axis=-1, keepdims=True), 1e-12)
+    pi = jnp.zeros((cap_pairs,), jnp.int32).at[tgt].set(
+        i.astype(jnp.int32), mode="drop")
+    pj = jnp.zeros((cap_pairs,), jnp.int32).at[tgt].set(
+        j.astype(jnp.int32), mode="drop")
+    nrm = jnp.zeros((cap_pairs, 3), x.dtype).at[tgt].set(
+        nrm_all, mode="drop")
+    mask = jnp.zeros((cap_pairs,), bool).at[tgt].set(True, mode="drop")
     overflow = jnp.sum(hit) > cap_pairs
     return SelfContactSet(
-        pair_i=pi.astype(jnp.int32), pair_j=pj.astype(jnp.int32),
+        pair_i=pi, pair_j=pj,
         normal=nrm, mask=mask,
         layer=jnp.full((cap_pairs,), -1, jnp.int32), overflow=overflow)
 
@@ -119,8 +122,12 @@ def assign_layers(contacts: SelfContactSet, n_particles: int,
     slot_ids = jnp.arange(C, dtype=jnp.int32)
     BIG = jnp.int32(C + 1)
 
-    def round_body(k, state):
-        layer, unassigned = state
+    def round_cond(state):
+        layer, unassigned, k = state
+        return jnp.logical_and(k < max_layers, jnp.any(unassigned))
+
+    def round_body(state):
+        layer, unassigned, k = state
         active = unassigned & contacts.mask
 
         owner = jnp.full((n_particles,), BIG, jnp.int32)
@@ -130,12 +137,14 @@ def assign_layers(contacts: SelfContactSet, n_particles: int,
         win = active & (owner[contacts.pair_i] == slot_ids) & \
             (owner[contacts.pair_j] == slot_ids)
         layer = jnp.where(win, k, layer)
-        return layer, unassigned & ~win
+        return layer, unassigned & ~win, k + 1
 
     layer = contacts.layer
     unassigned = contacts.mask
-    layer, unassigned = jax.lax.fori_loop(
-        0, max_layers, round_body, (layer, unassigned))
+    # while_loop: real contact graphs need 1-4 layers; don't pay for the cap
+    layer, unassigned, _ = jax.lax.while_loop(
+        round_cond, round_body,
+        (layer, unassigned, jnp.asarray(0, jnp.int32)))
     # leftovers (degenerate dense clusters beyond K layers) get dropped from
     # friction this step — mirrored by masking them out entirely
     mask = contacts.mask & (layer >= 0)
@@ -154,14 +163,20 @@ def empty_self_contacts(cap_pairs: int, dtype=jnp.float32) -> SelfContactSet:
 
 def self_friction(f: jnp.ndarray, contacts: SelfContactSet,
                   mass: jnp.ndarray, r_init: jnp.ndarray,
-                  max_layers: int, dry_friction_force) -> jnp.ndarray:
+                  max_layers: int, dry_friction_force,
+                  differentiable: bool = False) -> jnp.ndarray:
     """Layered Gauss–Seidel self-contact friction.
 
     reference: calculateDryFrictionVector (Simulation.cpp:655-676): per
     layer, for each pair (A,B): d = (f_A + r_A)/m_A - (f_B + r_B)/m_B with
     the r accumulated from previous layers; r_pair = k * friction(n, d,
     mu_cloth) with reduced mass k = m_A m_B/(m_A+m_B) and mu_cloth = 0.1
-    hard-coded (Simulation.cpp:666-668); r_A += r_pair, r_B -= r_pair."""
+    hard-coded (Simulation.cpp:666-668); r_A += r_pair, r_B -= r_pair.
+
+    differentiable=True uses a static fori_loop over the layer cap (the
+    adjoint residual is reverse-differentiated, and while_loop with a
+    dynamic bound has no reverse rule); the forward PD loop uses an
+    early-exit while_loop over the layers actually populated (1-4)."""
     MU_CLOTH = 0.1
     i = contacts.pair_i
     j = contacts.pair_j
@@ -170,7 +185,7 @@ def self_friction(f: jnp.ndarray, contacts: SelfContactSet,
     k_red = m_i * m_j / jnp.maximum(m_i + m_j, 1e-30)
     mu = jnp.full(i.shape, MU_CLOTH, f.dtype)
 
-    def layer_body(l, r):
+    def apply_layer(r, l):
         in_layer = contacts.mask & (contacts.layer == l)
         f_i = f[i] + r[i]
         f_j = f[j] + r[j]
@@ -181,4 +196,13 @@ def self_friction(f: jnp.ndarray, contacts: SelfContactSet,
         r = r.at[j].add(-r_pair, mode="drop")
         return r
 
-    return jax.lax.fori_loop(0, max_layers, layer_body, r_init)
+    if differentiable:
+        return jax.lax.fori_loop(
+            0, max_layers, lambda l, r: apply_layer(r, l), r_init)
+
+    n_layers = jnp.max(jnp.where(contacts.mask, contacts.layer, -1)) + 1
+    r_out, _ = jax.lax.while_loop(
+        lambda s: s[1] < n_layers,
+        lambda s: (apply_layer(s[0], s[1]), s[1] + 1),
+        (r_init, jnp.asarray(0, jnp.int32)))
+    return r_out

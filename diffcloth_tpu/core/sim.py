@@ -44,6 +44,7 @@ def _wind_falloff(scene: gb.Scene) -> np.ndarray:
 def scene_to_device(scene: gb.Scene, dtype=jnp.float32) -> SceneDev:
     s_rows = gb.stretch_rows(scene.triangle)
     b_rows = gb.bend_rows(scene.bending)
+    sp_rows = gb.spring_rows(scene.springs)
     f = lambda a: jnp.asarray(a, dtype)
     return SceneDev(
         tri_idx=jnp.asarray(scene.triangle.idx, jnp.int32),
@@ -51,6 +52,9 @@ def scene_to_device(scene: gb.Scene, dtype=jnp.float32) -> SceneDev:
         tri_area=f(scene.triangle.area),
         s_rows_idx=jnp.asarray(s_rows.idx, jnp.int32),
         s_rows_w=f(s_rows.w),
+        sp_rows_idx=jnp.asarray(sp_rows.idx, jnp.int32),
+        sp_rows_w=f(sp_rows.w),
+        sp_l0=f(scene.springs.l0),
         b_rows_idx=jnp.asarray(b_rows.idx, jnp.int32),
         b_rows_w=f(b_rows.w),
         b_w_vert=f(scene.bending.w_vert),
@@ -148,9 +152,16 @@ class ClothSim:
         # dense MXU constraint operators: default on up to a size where the
         # O(R*n) operator memory stays cheap; gather/scatter path above that
         # (profiling: dense is ~8x faster per PD iteration at tshirt scale,
-        # see core/dense_ops.py)
+        # see core/dense_ops.py).  The operators are closed over by the
+        # jitted step and embed in the executable as constants, so the gate
+        # is on total operator bytes (the axon remote-compile transport
+        # rejects program uploads past a few hundred MB).
         if dense_ops is None:
-            dense_ops = scene.n <= 4096
+            T2 = 2 * len(scene.triangle.area)
+            Bn = len(scene.bending.n_rest)
+            op_bytes = 4 * (2 * T2 * scene.n + 2 * Bn * scene.n
+                            + 3 * scene.n * scene.n)
+            dense_ops = op_bytes <= 300 * 1024 * 1024
         self.dense = None
         if dense_ops:
             from diffcloth_tpu.core import dense_ops as dn

@@ -34,13 +34,15 @@ def dense_gram_matrices(scene: "gb.Scene") -> List[np.ndarray]:
     n = scene.n
     s_rows = gb.stretch_rows(scene.triangle)
     b_rows = gb.bend_rows(scene.bending)
+    sp_rows = gb.spring_rows(scene.springs)
     S_stretch = gb.rows_to_dense_ata(s_rows, n)
     S_bend = gb.rows_to_dense_ata(b_rows, n)
+    S_spring = gb.rows_to_dense_ata(sp_rows, n)
     out = []
     for stage in scene.stages:
         a_rows = gb.attach_rows(stage)
         S_attach = gb.rows_to_dense_ata(a_rows, n)
-        out.append(np.stack([np.zeros((n, n)), S_attach, S_stretch, S_bend]))
+        out.append(np.stack([S_spring, S_attach, S_stretch, S_bend]))
     return out
 
 

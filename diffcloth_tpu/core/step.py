@@ -163,24 +163,32 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     # -- constraint-operator applications (dense MXU path vs gather/scatter)
 
     def apply_A_all(x):
-        """y_t = A0_t x for t in (stretch, bend, attach)."""
+        """y_t = A0_t x for t in (stretch, bend, attach, spring)."""
         if dense is not None:
-            return dn.apply_A(dense, x)
+            y_s, y_b, y_a, y_sp = dn.apply_A(dense, x)
+            return y_s, y_b, y_a, y_sp
         return (cons.apply_rows(scene.s_rows_idx, scene.s_rows_w, x),
                 cons.apply_rows(scene.b_rows_idx, scene.b_rows_w, x),
-                cons.apply_rows(stage.attach_idx, stage.attach_w, x))
+                cons.apply_rows(stage.attach_idx, stage.attach_w, x),
+                cons.apply_rows(scene.sp_rows_idx, scene.sp_rows_w, x))
 
     def proj_all(x_eval, y_eval, x_fixed):
         """Weightless projections at x_eval (dense path reads them off
-        y = A x_eval; gather path gathers vertices)."""
+        y = A x_eval; gather path gathers vertices).  Returns
+        (p_s, p_b, p_a, p_sp) aligned with apply_A_all's y order."""
         if dense is not None:
-            return dn.projections_from_y(dense, y_eval[0], y_eval[1], x_fixed)
-        return cons.all_projections(scene, stage, x_eval, x_fixed)
+            p_s, p_b, p_a, p_sp = dn.projections_from_y(
+                dense, y_eval[0], y_eval[1], x_fixed, y_sp=y_eval[3])
+            return p_s, p_b, p_a, p_sp
+        p_s, p_b, p_a, p_sp = cons.all_projections(scene, stage, x_eval,
+                                                   x_fixed)
+        return p_s, p_b, p_a, p_sp
 
-    def apply_At_all(k_pertype, d_s, d_b, d_a):
+    def apply_At_all(k_pertype, d_s, d_b, d_a, d_sp):
         if dense is not None:
-            return dn.apply_At(dense, k_pertype, d_s, d_b, d_a)
-        return cons.apply_At_p(scene, stage, k_pertype, d_s, d_b, d_a, n)
+            return dn.apply_At(dense, k_pertype, d_s, d_b, d_a, d_sp)
+        return cons.apply_At_p(scene, stage, k_pertype, d_s, d_b, d_a, n,
+                               p_spring=d_sp)
 
     def apply_AtA_all(k_pertype, v, Sk=None):
         if dense is not None:
@@ -188,7 +196,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             return dn.apply_S(Sk, v)
         return cons.apply_AtA(scene, stage, k_pertype, v)
 
-    def friction(params, contact: ct.ContactSet, selfc, m, f):
+    def friction(params, contact: ct.ContactSet, selfc, m, f,
+                 differentiable=False):
         """Obstacle contacts first (layer 0), then layered self-contact
         Gauss-Seidel (calculateDryFrictionVector, Simulation.cpp:627-682)."""
         if not flags.contact_enabled:
@@ -199,7 +208,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             r = jnp.zeros_like(f)
         if use_self:
             r = sc.self_friction(f, selfc, m, r, self_cfg.max_layers,
-                                 ct.dry_friction_force)
+                                 ct.dry_friction_force,
+                                 differentiable=differentiable)
         return r
 
     def btilde_of(params, m, f_ext, x_n, v_n, x_eval, x_fixed, y_n=None):
@@ -213,11 +223,12 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         separate P x_n / M s_n products).  y_n = A x_n is constant across
         PD iterations; callers in the loop hoist it."""
         y_eval = apply_A_all(x_eval)
-        p_s, p_b, p_a = proj_all(x_eval, y_eval, x_fixed)
+        p_s, p_b, p_a, p_sp = proj_all(x_eval, y_eval, x_fixed)
         if y_n is None:
             y_n = apply_A_all(x_n)
         At_d = apply_At_all(params.k_pertype,
-                            p_s - y_n[0], p_b - y_n[1], p_a - y_n[2])
+                            p_s - y_n[0], p_b - y_n[1], p_a - y_n[2],
+                            p_sp - y_n[3])
         return h * At_d + m[:, None] * v_n + h * f_ext
 
     def residual(v_new, x_n, v_n, params, x_fixed, contact, selfc, t,
@@ -231,7 +242,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         btilde = btilde_of(params, m, f_ext, x_n, v_n, x_new, x_fixed)
         Cv = h2 * apply_AtA_all(params.k_pertype, v_new)
         f = btilde - Cv
-        r = friction(params, contact, selfc, m, f)
+        r = friction(params, contact, selfc, m, f, differentiable=True)
         Pv = m[:, None] * v_new + Cv
         return Pv - btilde - r
 

@@ -31,6 +31,11 @@ class SceneDev(NamedTuple):
     tri_area: jnp.ndarray       # (T,)
     s_rows_idx: jnp.ndarray     # (2T,3) int32
     s_rows_w: jnp.ndarray       # (2T,3) weightless
+    # spring (per-edge length) constraints — empty unless
+    # FabricConfig.use_spring_constraints
+    sp_rows_idx: jnp.ndarray    # (S,2) int32
+    sp_rows_w: jnp.ndarray      # (S,2) weightless (+1,-1)
+    sp_l0: jnp.ndarray          # (S,) rest lengths
     # bending constraints
     b_rows_idx: jnp.ndarray     # (B,4) int32
     b_rows_w: jnp.ndarray       # (B,4) weightless (sqrt(3/(A0+A1)) * w_vert)

@@ -222,6 +222,35 @@ class BendingElems:
     area_sum: np.ndarray  # (B,) A0 + A1
 
 
+@dataclasses.dataclass
+class SpringElems:
+    """Length springs on mesh edges (reference: Spring.{h,cpp} — deprecated
+    there in favor of Triangle but kept for capability parity; unlike the
+    reference, the per-type stiffness k_pertype[0] stays differentiable)."""
+    idx: np.ndarray    # (S,2) int32
+    l0: np.ndarray     # (S,) rest lengths
+
+
+def build_spring_elems(x_rest: np.ndarray, tris: np.ndarray) -> SpringElems:
+    """One spring per unique mesh edge."""
+    if len(tris) == 0:
+        return SpringElems(np.zeros((0, 2), np.int32), np.zeros((0,)))
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.unique(np.sort(e, axis=1), axis=0).astype(np.int32)
+    l0 = np.linalg.norm(x_rest[e[:, 0]] - x_rest[e[:, 1]], axis=1)
+    return SpringElems(idx=e, l0=l0)
+
+
+def spring_rows(sp: SpringElems) -> "ARows":
+    """1 row per spring, weightless weights (+1, -1)
+    (Spring::addConstraint, Spring.cpp:126-141)."""
+    S = len(sp.l0)
+    if S == 0:
+        return ARows(np.zeros((0, 2), np.int32), np.zeros((0, 2)))
+    w = np.tile(np.array([1.0, -1.0]), (S, 1))
+    return ARows(sp.idx, w)
+
+
 def extract_bending_pairs(tris: np.ndarray) -> np.ndarray:
     """Shared-edge extraction (reference: createBendingConstraints,
     Simulation.cpp:2096-2131).  Returns (B,4) with [vmin, vmax, other0, other1];
@@ -459,6 +488,9 @@ class Scene:
     rest_max: np.ndarray
     rest_mid: np.ndarray
     conn_table: np.ndarray        # (n,n) bool adjacency exclusion
+    springs: "SpringElems" = dataclasses.field(
+        default_factory=lambda: SpringElems(np.zeros((0, 2), np.int32),
+                                            np.zeros((0,))))
 
     @property
     def n(self) -> int:
@@ -493,6 +525,9 @@ def build_scene(cfg: SceneConfig) -> Scene:
     tri = build_triangle_elems(x_rest, tris)
     quads = extract_bending_pairs(tris)
     bend = build_bending_elems(x_rest, quads)
+    springs = (build_spring_elems(x_rest, tris)
+               if getattr(fab, "use_spring_constraints", False)
+               else SpringElems(np.zeros((0, 2), np.int32), np.zeros((0,))))
     stages = build_attachments(cfg, x_rest, meta["rest_min"], meta["rest_max"],
                                raw_grid_endpoints, is_model)
     n = len(x_rest)
@@ -504,4 +539,4 @@ def build_scene(cfg: SceneConfig) -> Scene:
                  tris=tris, triangle=tri, bending=bend, stages=stages,
                  area=area, radii=radii,
                  rest_min=meta["rest_min"], rest_max=meta["rest_max"],
-                 rest_mid=rest_mid, conn_table=conn)
+                 rest_mid=rest_mid, conn_table=conn, springs=springs)

@@ -144,12 +144,50 @@ SLOPE_SCENE = SceneConfig(
     forward_convergence_thresh=1e-8, backward_convergence_thresh=5e-4,
     name="slope_simplified")
 
+CONTINUOUS_NORMAL_SCENE = SceneConfig(
+    fabric=NORMAL_FABRIC_6, orientation=Orientation.FRONT,
+    up_vector=(1.0, 0.0, 1.0),
+    attachment_points=AttachmentConfig.NO_ATTACHMENTS,
+    trajectory=TrajectoryConfig.NO_TRAJECTORY,
+    primitive_config=PrimitiveConfig.BIG_SPHERE,
+    wind_config=WindConfig.NO_WIND,
+    scene_bbox=AABB((-5, -1.5, -14), (7, 10, 5)),
+    time_step=1.0 / 100.0, step_num=50,
+    forward_convergence_thresh=1e-9, backward_convergence_thresh=5e-4,
+    name="bigsphere_continuousNormal")  # :188-205
+
+SIMPLE_SCENE = SceneConfig(
+    fabric=NORMAL_FABRIC_6_LOWRES, orientation=Orientation.FRONT,
+    attachment_points=AttachmentConfig.NO_ATTACHMENTS,
+    trajectory=TrajectoryConfig.NO_TRAJECTORY,
+    primitive_config=PrimitiveConfig.NONE,
+    wind_config=WindConfig.NO_WIND,
+    scene_bbox=AABB((-7, -7, -7), (7, 7, 7)),
+    time_step=1.0 / 30.0, step_num=100,
+    forward_convergence_thresh=1e-9, backward_convergence_thresh=5e-4,
+    name="none")  # :208-225
+
+# wind sim2real: the wind scene at stepNum=100 with WIND_SIN_AND_FALLOFF and
+# the per-particle falloff focus used by loadWindSim2RealAnimationSequence
+# (Simulation.cpp:3125-3131; task config :353-358, setup
+# OptimizationTaskSetup.cpp:21-36,186-193).  The reference fits captured
+# animation frames; the public repo ships no animation assets, so the task
+# here generates its ground truth by simulation with the reference's
+# "actual" sim2real parameters.
+import dataclasses as _dc
+
+WIND_SIM2REAL_SCENE = _dc.replace(
+    WIND_SCENE, wind_config=WindConfig.WIND_SIN_AND_FALLOFF, step_num=100,
+    wind_falloff_focus=(0.0, -1.0, 0.0), name="wind_sim2real")
+
 # ---------------------------------------------------------------------------
 # demo -> task map (OptimizationTaskConfigurations.cpp:353-421)
 
 DEMOS: Dict[str, TaskConfig] = {
     "wind": TaskConfig(WIND_SCENE, True, True, LossType.MATCH_TRAJECTORY,
                        "wind"),
+    "wind_sim2real": TaskConfig(WIND_SIM2REAL_SCENE, True, True,
+                                LossType.MATCH_TRAJECTORY, "wind_sim2real"),
     "tshirt": TaskConfig(TSHIRT_SCENE, True, True, LossType.MATCH_TRAJECTORY,
                          "wind_tshirt"),
     "sphere": TaskConfig(ROTATING_SPHERE_SCENE, True, True,

@@ -167,7 +167,7 @@ def build_task(demo: str, dtype=jnp.float32, **sim_kwargs) -> TaskSetup:
         spline_type = SplineType.ENDPOINT_AND_TANGENTS
 
     flags = SimFlags(
-        wind_enabled=(demo in ("wind", "tshirt")),
+        wind_enabled=(demo in ("wind", "tshirt", "wind_sim2real")),
         contact_enabled=True, self_collision_enabled=True)
     sim = ClothSim(scene, dtype=dtype, prims=prims, flags=flags,
                    spline_type=spline_type, **sim_kwargs)
@@ -194,6 +194,24 @@ def build_task(demo: str, dtype=jnp.float32, **sim_kwargs) -> TaskSetup:
             wind=jnp.asarray(wind_gt, dtype),
             wind_freq=jnp.asarray(10.0, dtype),
             wind_phase=jnp.asarray(0.5, dtype))
+    elif demo == "wind_sim2real":
+        # DEMO_WIND_SIM2REAL (setWindSim2realInitialParams,
+        # OptimizationTaskSetup.cpp:21-36): WIND_SIN_AND_FALLOFF, optimize
+        # wind-5 + k_stretch + k_bend + density toward the "actual"
+        # sim2real parameters.  The reference fits captured animation
+        # frames (loadWindSim2RealAnimationSequence); without the (unshipped)
+        # animation assets the ground truth is generated by simulation.
+        mask = GradMask(f_wind=True, density=True,
+                        k_pertype=(False, False, True, True))
+        wind_gt = np.array([1.0, 0.1, 1.0])
+        wind_gt = wind_gt / np.linalg.norm(wind_gt) * 1.0
+        param_gt = base._replace(
+            wind=jnp.asarray(wind_gt, dtype),
+            wind_freq=jnp.asarray(14.0, dtype),
+            wind_phase=jnp.asarray(0.0, dtype),
+            k_pertype=base.k_pertype.at[C_STRETCH].set(3000.0)
+            .at[C_BEND].set(0.01),
+            density=jnp.asarray(0.15, dtype))
     elif demo == "sphere":
         # DEMO_SPHERE_ROTATE (:178-184)
         mask = GradMask(mu_primitives=(0,))

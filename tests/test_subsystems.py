@@ -153,6 +153,45 @@ def test_fd_adjoint_agreement(small):
         assert ok, f"{field}: abs={abs_err} rel={rel_err}"
 
 
+def test_spring_constraints_forward_and_grad():
+    """Per-edge springs (reference Spring element): forward stays stable
+    and dL/dk_spring matches central differences."""
+    import dataclasses
+    from diffcloth_tpu.config import SimFlags
+    cfg = SceneConfig(
+        fabric=FabricConfig(cloth_dim_x=2, cloth_dim_y=2,
+                            k_stiff_stretching=200, k_stiff_bending=0.05,
+                            grid_num_x=4, grid_num_y=4, density=0.3,
+                            use_spring_constraints=True),
+        attachment_points=AttachmentConfig.LEFT_RIGHT_CORNERS_2,
+        wind_config=WindConfig.WIND_SIN, time_step=1.0 / 60.0,
+        step_num=5, forward_convergence_thresh=1e-11,
+        backward_convergence_thresh=1e-8, name="springs")
+    scene = gb.build_scene(cfg)
+    assert len(scene.springs.l0) > 0
+    for dense in (True, False):
+        sim = ClothSim(scene, dtype=jnp.float64, dense_ops=dense,
+                       flags=SimFlags(wind_enabled=True,
+                                      gradient_clipping=False))
+        params = sim.default_params()._replace(
+            wind=jnp.array([0.3, 0.05, 0.1], jnp.float64),
+            k_pertype=sim.default_params().k_pertype.at[0].set(50.0))
+        recs = sim.rollout(params)
+        assert bool(np.all(np.asarray(recs.steps.converged)))
+        info = losses.LossInfo(
+            target_x=jnp.zeros((sim.n_steps + 1, sim.n, 3), jnp.float64))
+        loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+        vg = sim.episode_value_and_grad(loss_fn)
+        _, grads = vg(params)
+        d = 1e-5
+        up = params._replace(k_pertype=params.k_pertype.at[0].add(d))
+        dn_ = params._replace(k_pertype=params.k_pertype.at[0].add(-d))
+        fd = (float(vg(up)[0]) - float(vg(dn_)[0])) / (2 * d)
+        ad = float(grads.k_pertype[0])
+        assert abs(fd) > 0
+        assert np.isclose(fd, ad, rtol=5e-3), (dense, fd, ad)
+
+
 def test_native_matches_python(small, tmp_path):
     from diffcloth_tpu import native
     if not native.available():
