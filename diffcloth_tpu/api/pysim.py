@@ -43,6 +43,7 @@ class StateInfo(NamedTuple):
     stepIdx: int
     converged: bool
     avgDeformation: float
+    maxDeformation: float
 
 
 class SimulationAPI:
@@ -63,13 +64,14 @@ class SimulationAPI:
     # ------------------------------------------------------------- state
 
     def _push_record(self, x, v, x_fixed, step_idx, converged=True,
-                     avg_def=1.0):
+                     avg_def=1.0, max_def=1.0):
         self.forward_records.append(StateInfo(
             x=np.asarray(x).reshape(-1),
             v=np.asarray(v).reshape(-1),
             x_fixedpoints=np.asarray(x_fixed).reshape(-1),
             t=step_idx * self.sim.h, stepIdx=step_idx,
-            converged=bool(converged), avgDeformation=float(avg_def)))
+            converged=bool(converged), avgDeformation=float(avg_def),
+            maxDeformation=float(max_def)))
 
     def reset_system(self) -> None:
         """reference: Simulation::resetSystem (Simulation.cpp:2834-2845)."""
@@ -115,7 +117,7 @@ class SimulationAPI:
         self._x, self._v, self._x_fixed = x2, v2, a
         self._step_idx = idx
         self._push_record(x2, v2, a, idx, aux.converged,
-                          aux.avg_deformation)
+                          aux.avg_deformation, aux.max_deformation)
         return self.get_state_info()
 
     def step_backward_nn(self, idx: int, x, v, a, dL_dx_new, dL_dv_new

@@ -259,7 +259,8 @@ class ClothSim:
             v2 = jnp.where(frozen, v, v2)
             rec = StepRecord(x=x2, v=v2, f=aux.f, r=aux.r, x_fixed=x_fixed,
                              converged=aux.converged, iters=aux.iters,
-                             avg_deformation=aux.avg_deformation)
+                             avg_deformation=aux.avg_deformation,
+                             max_deformation=aux.max_deformation)
             return (x2, v2, frozen), rec
 
         idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)

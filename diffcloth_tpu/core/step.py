@@ -71,17 +71,23 @@ class StepAux(NamedTuple):
     converged: jnp.ndarray
     iters: jnp.ndarray
     avg_deformation: jnp.ndarray
+    max_deformation: jnp.ndarray
 
 
-def _avg_deformation(scene: SceneDev, x):
-    """Total current area / total rest area (Simulation.cpp:34-43)."""
+def _deformation(scene: SceneDev, x):
+    """(total current area / total rest area, max per-triangle area ratio)
+    (calculateTriangleDeformation / calculateMaxTriangleDeformation,
+    Simulation.cpp:34-53)."""
     if scene.tri_idx.shape[0] == 0:
-        return jnp.asarray(1.0, x.dtype)
+        one = jnp.asarray(1.0, x.dtype)
+        return one, one
     p0 = x[scene.tri_idx[:, 0]]
     p1 = x[scene.tri_idx[:, 1]]
     p2 = x[scene.tri_idx[:, 2]]
     area = 0.5 * jnp.linalg.norm(jnp.cross(p1 - p0, p2 - p0), axis=-1)
-    return jnp.sum(area) / jnp.sum(scene.tri_area).astype(x.dtype)
+    rest = scene.tri_area.astype(x.dtype)
+    return (jnp.sum(area) / jnp.sum(rest),
+            jnp.max(area / jnp.maximum(rest, 1e-30)))
 
 
 def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
@@ -353,8 +359,9 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             btilde_fin = btilde_of(params, m, f_ext, x_n, v_n, x_new,
                                    x_fixed, y_n=y_n)
             f_rec = btilde_fin - h2 * apply_AtA_all(params.k_pertype, v_new)
+        avg_def, max_def = _deformation(scene, x_new)
         aux = StepAux(f=f_rec, r=out.r, converged=converged, iters=out.it,
-                      avg_deformation=_avg_deformation(scene, x_new))
+                      avg_deformation=avg_def, max_deformation=max_def)
         return x_new, v_new, aux, contact, selfc
 
     # -- custom VJP ---------------------------------------------------------

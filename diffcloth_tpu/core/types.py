@@ -77,6 +77,7 @@ class StepRecord(NamedTuple):
     converged: jnp.ndarray       # () bool
     iters: jnp.ndarray           # () int32
     avg_deformation: jnp.ndarray  # ()
+    max_deformation: jnp.ndarray  # () max per-triangle area ratio
 
 
 class EpisodeRecords(NamedTuple):

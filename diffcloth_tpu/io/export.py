@@ -55,6 +55,8 @@ def export_episode(folder: str, recs, tris: np.ndarray,
         "iters": np.asarray(recs.steps.iters).astype(int).tolist(),
         "avg_deformation":
             np.asarray(recs.steps.avg_deformation).astype(float).tolist(),
+        "max_deformation":
+            np.asarray(recs.steps.max_deformation).astype(float).tolist(),
     }
     if stats:
         log.update(stats)

@@ -117,8 +117,6 @@ def export_optimization(folder: str, demo: str, helper: OptimizeHelper,
     """Persist per-iteration losses/params + final trajectory OBJ frames
     (reference exportStatistics / exportOptimizationRecords,
     Simulation.cpp:3963-4129)."""
-    from diffcloth_tpu.geometry import objio
-
     os.makedirs(folder, exist_ok=True)
     log = {
         "demo": demo,
@@ -132,9 +130,18 @@ def export_optimization(folder: str, demo: str, helper: OptimizeHelper,
     }
     with open(os.path.join(folder, "optimization.json"), "w") as fh:
         json.dump(log, fh, indent=1)
-    # final-trajectory export for offline viewing
+    # final-trajectory export for offline viewing / replay, with per-step
+    # solver stats (the reference's per-iter frame dumps + forwardLog
+    # tables, Simulation.cpp:4003-4129)
+    import time as _time
+
+    from diffcloth_tpu.io import export as ioexp
+    from diffcloth_tpu.utils.timing import EpisodeStats
+
     params = helper.vec_to_params(res.x)
+    t0 = _time.time()
     recs = helper.sim.rollout(params)
-    xs = np.asarray(recs.full_x())
-    objio.export_frames(os.path.join(folder, "final"), xs,
-                        helper.sim.scene_host.tris)
+    stats = EpisodeStats.from_records(recs, forward_s=_time.time() - t0)
+    ioexp.export_episode(os.path.join(folder, "final"), recs,
+                         helper.sim.scene_host.tris,
+                         stats={"episode_report": stats.report()})
