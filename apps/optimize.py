@@ -71,21 +71,18 @@ def main():
     out_dir = os.path.join("output", exp)
 
     if args.mode == "simulate":
-        from diffcloth_tpu.geometry import objio
+        from diffcloth_tpu.io import export as ioexp
         from diffcloth_tpu.tasks.setup import build_task
+        from diffcloth_tpu.utils.timing import EpisodeStats
         task = build_task(args.demo, dtype=dtype)
         t0 = time.time()
         recs = task.sim.rollout(task.param_base)
         jax.block_until_ready(recs.steps.x)
-        el = time.time() - t0
-        conv = int(np.asarray(recs.steps.converged).sum())
-        print(f"forward: {task.sim.n_steps} steps in {el:.1f}s "
-              f"({task.sim.n_steps / el:.1f} steps/s), converged "
-              f"{conv}/{task.sim.n_steps}, mean iters "
-              f"{float(np.asarray(recs.steps.iters).mean()):.0f}")
-        objio.export_frames(out_dir, np.asarray(recs.full_x()),
-                            task.sim.scene_host.tris)
-        print("exported frames to", out_dir)
+        stats = EpisodeStats.from_records(recs, forward_s=time.time() - t0)
+        print(stats.report())
+        ioexp.export_episode(out_dir, recs, task.sim.scene_host.tris,
+                             stats={"episode_report": stats.report()})
+        print("exported episode to", out_dir)
         return
 
     from diffcloth_tpu.optim.solver import solve_demo

@@ -19,6 +19,21 @@ import jax.numpy as jnp
 EPS = 1e-12
 
 
+def safe_norm(v, axis=-1, keepdims=True, eps=EPS):
+    """|v| with a NaN-free VJP at v = 0.
+
+    `jnp.linalg.norm(v).clip(eps)` (or maximum(norm, eps)) guards the
+    *value* but not the gradient: norm's VJP computes g * v / norm, which is
+    0 * 0/0 = NaN at v = 0 even when the clip routes a zero cotangent.  The
+    double-where below makes degenerate inputs contribute exactly zero
+    gradient instead (matters for stick-regime friction, where the
+    tangential force is exactly zero)."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    safe = n2 > eps * eps
+    n = jnp.sqrt(jnp.where(safe, n2, 1.0))
+    return jnp.where(safe, n, eps)
+
+
 # ---------------------------------------------------------------------------
 # A0 operator: weightless rows, arbitrary arity K
 
@@ -107,7 +122,7 @@ def project_spring(y_sp: jnp.ndarray, l0: jnp.ndarray) -> jnp.ndarray:
     per-type by the caller)."""
     if y_sp.shape[0] == 0:
         return y_sp
-    en = jnp.linalg.norm(y_sp, axis=-1, keepdims=True).clip(EPS)
+    en = safe_norm(y_sp)
     return l0.astype(y_sp.dtype)[:, None] * y_sp / en
 
 
@@ -124,7 +139,7 @@ def project_bend(x: jnp.ndarray, b_idx: jnp.ndarray, w_vert: jnp.ndarray,
     if b_idx.shape[0] == 0:
         return jnp.zeros((0, 3), x.dtype)
     e = jnp.einsum("bk,bkd->bd", w_vert.astype(x.dtype), x[b_idx])   # (B,3)
-    en = jnp.linalg.norm(e, axis=-1, keepdims=True).clip(EPS)
+    en = safe_norm(e)
     flat = (n_rest <= 1e-6)[:, None]
     p = jnp.where(flat, 0.0, (n_rest * sw).astype(x.dtype)[:, None] * e / en)
     return p

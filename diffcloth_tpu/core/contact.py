@@ -192,12 +192,12 @@ def dry_friction_force(normal, d, mu):
     (reference: calcualteDryFrictionForce, Simulation.cpp:829-862).
     Batched over leading dims; written with double-where so autodiff through
     the slide branch is NaN-free."""
+    from diffcloth_tpu.core.constraints import safe_norm
     sd = jnp.sum(d * normal, axis=-1, keepdims=True)      # signed normal mag
     fN = normal * sd
     fT = d - fN
-    tnorm = jnp.linalg.norm(fT, axis=-1, keepdims=True)
-    safe_t = jnp.maximum(tnorm, 1e-12)
-    t_hat = fT / safe_t
+    tnorm = safe_norm(fT)   # NaN-free VJP at fT = 0 (stick regime)
+    t_hat = fT / tnorm
     in_contact = sd < 0.0
     stick = tnorm <= mu[..., None] * jnp.abs(sd)
     r_stick = -fN - fT

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffcloth_tpu.core.constraints import EPS
+from diffcloth_tpu.core.constraints import EPS, safe_norm
 
 HI = jax.lax.Precision.HIGHEST
 
@@ -169,12 +169,12 @@ def corot_project_cols(a, b):
     Triangle::projectToManifold, Triangle.cpp:329-351) but with no tiny
     batched matmuls or axis shuffles — pure lane-aligned VPU ops, which is
     ~40x faster on TPU than the einsum formulation at batch."""
-    na = jnp.linalg.norm(a, axis=-1, keepdims=True)
-    q0 = a / na.clip(EPS)
+    na = safe_norm(a)
+    q0 = a / na
     dq = jnp.sum(b * q0, -1, keepdims=True)
     bperp = b - dq * q0
-    nb = jnp.linalg.norm(bperp, axis=-1, keepdims=True)
-    q1 = bperp / nb.clip(EPS)
+    nb = safe_norm(bperp)
+    q1 = bperp / nb
     tr = na + nb
     rnorm = jnp.sqrt(tr * tr + dq * dq + EPS)
     c0 = (q0 * tr - q1 * dq) / rnorm
@@ -201,7 +201,7 @@ def bend_proj_from_y(y_b, b_scale):
     whose direction equals the unscaled one (TriangleBending.cpp:138-151)."""
     if y_b.shape[0] == 0:
         return y_b
-    en = jnp.linalg.norm(y_b, axis=-1, keepdims=True).clip(EPS)
+    en = safe_norm(y_b)
     return b_scale.astype(y_b.dtype)[:, None] * y_b / en
 
 
@@ -210,7 +210,7 @@ def spring_proj_from_y(y_sp, sp_l0):
     (Spring::project, Spring.cpp:92-97)."""
     if y_sp.shape[0] == 0:
         return y_sp
-    en = jnp.linalg.norm(y_sp, axis=-1, keepdims=True).clip(EPS)
+    en = safe_norm(y_sp)
     return sp_l0.astype(y_sp.dtype)[:, None] * y_sp / en
 
 

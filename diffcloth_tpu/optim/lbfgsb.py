@@ -89,21 +89,29 @@ def minimize_lbfgsb_native(loss_and_grad, x0, lower, upper, *,
         if np.dot(d, g) > -1e-15:      # not a descent direction: reset
             S.clear(); Y.clear(); rho.clear()
             d = -g
-        # projected-arc backtracking with Armijo on the actual arc step
-        alpha = 1.0
+        # Trial-step schedule: L-BFGS directions are well-scaled (start at
+        # alpha=1), but on the first/reset iteration d = -g can be tiny in
+        # the unit box; with an f32-quantized objective a microscopic step
+        # shows zero decrease and pure backtracking starves.  Scale the
+        # first trial to move ~10% of the box, and scan a geometric ladder
+        # both below AND above it.
+        d_inf = np.linalg.norm(d, np.inf)
+        alpha0 = 1.0 if S else min(1.0, 0.1 / max(d_inf, 1e-30))
+        ladder = [alpha0 * (0.25 ** k)
+                  for k in range(max_linesearch - 4)]
+        ladder += [alpha0 * (4.0 ** k) for k in range(1, 5)
+                   if alpha0 * (4.0 ** k) * d_inf <= 1.0]
         accepted = False
-        for _ in range(max_linesearch):
+        for alpha in ladder:
             zn = np.clip(z + alpha * d, 0.0, 1.0)
             step = zn - z
             sn = np.dot(g, step)
             if sn >= 0 or not np.any(step):
-                alpha *= 0.25
                 continue
             fn, gn = fun(zn)
             if np.isfinite(fn) and fn <= f + 1e-4 * sn:
                 accepted = True
                 break
-            alpha *= 0.25
         if not accepted:
             message = "linesearch failed"
             converged = np.linalg.norm(
