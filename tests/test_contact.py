@@ -180,3 +180,65 @@ def test_self_friction_conserves_momentum():
     total = np.asarray(jnp.sum(r, axis=0))
     np.testing.assert_allclose(total, 0.0, atol=1e-10)
     assert float(jnp.linalg.norm(r)) > 0  # something actually happened
+
+
+def test_grad_spline_through_contact():
+    """Spline control-point gradients through a contact-rich rollout — the
+    hat/sock control-task path.  Locks in the safe-norm friction VJP and
+    the GMRES fallback for the backward solve (a NaN or exploding adjoint
+    here is exactly the bug class that broke the hat demo)."""
+    from diffcloth_tpu.config import SplineType
+    from diffcloth_tpu.core import spline as spl
+
+    fab = FabricConfig(cloth_dim_x=2.0, cloth_dim_y=2.0,
+                       k_stiff_stretching=250.0, k_stiff_bending=0.05,
+                       grid_num_x=5, grid_num_y=5, density=0.3)
+    cfg = SceneConfig(
+        fabric=fab, attachment_points=AttachmentConfig.LEFT_RIGHT_CORNERS_2,
+        trajectory=TrajectoryConfig.CORNERS_2_WEARHAT,
+        primitive_config=PrimitiveConfig.NONE,
+        wind_config=WindConfig.NO_WIND,
+        time_step=1.0 / 90.0, step_num=8,
+        forward_convergence_thresh=1e-11,
+        backward_convergence_thresh=1e-8, name="spline_contact")
+    scene = gb.build_scene(cfg)
+    # sphere placed so the swinging cloth grazes it
+    prims = sphere_prims((0.0, -1.2, 0.0), 0.8, 0.4)
+    sim = ClothSim(scene, dtype=jnp.float64, prims=prims,
+                   spline_type=SplineType.ENDPOINT_AND_TANGENTS,
+                   flags=SimFlags(wind_enabled=False,
+                                  gradient_clipping=False))
+    params = sim.default_params()
+    # drive the clips downward toward the sphere
+    p1 = jnp.asarray(np.asarray(sim.stage_dev.spline_p0)
+                     + np.array([0.0, -1.0, 0.0]), jnp.float64)
+    params = params._replace(spline=spl.default_params_from_endpoints(
+        sim.stage_dev.spline_p0, p1, sim.stage_dev.spline_yup))
+
+    target = jnp.asarray(scene.x_rest + np.array([0.0, -0.8, 0.0]),
+                         jnp.float64)
+    info = losses.LossInfo(x_init=jnp.asarray(scene.x_rest, jnp.float64),
+                           target_translation=jnp.asarray(
+                               [0.0, -0.8, 0.0], jnp.float64))
+    loss_fn = losses.make_loss_fn(LossType.MATCHSHAPE_WITH_TRANSLATION, info)
+    vg = sim.episode_value_and_grad(loss_fn)
+    L0, grads = vg(params)
+    g = np.asarray(grads.spline)
+    assert np.all(np.isfinite(g)), "NaN/Inf spline gradient through contact"
+    assert np.linalg.norm(g) < 1e4, f"exploding adjoint: |g|={np.linalg.norm(g)}"
+    assert np.linalg.norm(g) > 0
+
+    # FD check on one control-point coordinate.  Tolerance is loose on
+    # purpose: the adjoint differentiates with the per-step contact set
+    # frozen (as the reference does, Simulation.cpp:1510-1522), while a
+    # finite-difference perturbation can flip set membership mid-episode —
+    # the residual discrepancy is the contact-switching subgradient, not an
+    # adjoint bug.
+    d = 1e-6
+    idx = (0, 1)
+    up = params._replace(spline=params.spline.at[idx].add(d))
+    dn = params._replace(spline=params.spline.at[idx].add(-d))
+    fd = (float(vg(up)[0]) - float(vg(dn)[0])) / (2 * d)
+    ad = float(g[idx])
+    assert np.isclose(fd, ad, rtol=0.15, atol=1e-10), (fd, ad)
+    assert np.sign(fd) == np.sign(ad)
