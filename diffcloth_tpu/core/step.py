@@ -433,11 +433,17 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         # constant P^{-1} as preconditioner converges where the plain
         # fixed point does not (contact-stiff steps).
         def gmres_fallback(_):
+            # small budget on purpose: the fallback only fires on
+            # divergent steps, and each matvec costs a full residual VJP;
+            # 16 Krylov vectors with the P^{-1} preconditioner already
+            # reduces the adjoint residual by orders of magnitude, while a
+            # large budget makes the fused episode-gradient executable slow
+            # enough to trip remote-TPU execution limits
             sol, _info = jax.scipy.sparse.linalg.gmres(
                 lambda u: vjp_v(u)[0], w,
                 x0=jnp.where(jnp.isfinite(lam0), lam0, 0.0),
                 M=lambda r: solve_fn(p_inv, r),
-                tol=1e-6, restart=20, maxiter=3)
+                tol=1e-5, restart=16, maxiter=1)
             return jnp.where(jnp.isfinite(sol), sol, 0.0)
 
         lam = jax.lax.cond(back_ok & ~back_bad,
