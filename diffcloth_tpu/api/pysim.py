@@ -8,14 +8,12 @@ reference: src/code/python_interface.cpp (module `diffcloth_py`,
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffcloth_tpu import losses
 from diffcloth_tpu.core.types import SimParams
 from diffcloth_tpu.geometry import objio
 from diffcloth_tpu.optim.helper import OptimizeHelper

@@ -11,13 +11,13 @@ as the reference accumulates them in `BackwardInformation`.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffcloth_tpu.config import (SceneConfig, SimFlags, SplineType,
+from diffcloth_tpu.config import (SimFlags, SplineType,
                                   TrajectoryConfig, WindConfig)
 from diffcloth_tpu.core import contact as ct
 from diffcloth_tpu.core import selfcol as sc

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffcloth_tpu.config import C_ATTACH, C_BEND, C_STRETCH
 from diffcloth_tpu.geometry import builder as gb
 
 

@@ -35,7 +35,6 @@ MXU and batches over vmapped rollouts.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -47,7 +46,7 @@ from diffcloth_tpu.core import constraints as cons
 from diffcloth_tpu.core import contact as ct
 from diffcloth_tpu.core import dense_ops as dn
 from diffcloth_tpu.core import selfcol as sc
-from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev, StepRecord
+from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev
 
 
 class SelfColConfig(NamedTuple):

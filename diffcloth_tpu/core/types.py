@@ -7,7 +7,7 @@ TPU-native replacements for the reference's state structs
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

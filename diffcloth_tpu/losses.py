@@ -10,7 +10,7 @@ dL_dvinit (Simulation.cpp:3948).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

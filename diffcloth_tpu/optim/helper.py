@@ -9,13 +9,12 @@ optimizer; packing order and bounds tables mirror
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffcloth_tpu.config import C_ATTACH, C_BEND, C_SPRING, C_STRETCH
 from diffcloth_tpu.core.types import SimParams
 
 # per-type stiffness bounds [spring, attach, stretch, bend]

@@ -17,7 +17,6 @@ host, then `jax.make_mesh` spans all processes' devices.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,6 @@ from diffcloth_tpu.core import contact as ct
 from diffcloth_tpu.core.sim import ClothSim
 from diffcloth_tpu.core.types import SimParams
 from diffcloth_tpu.geometry import builder as gb
-from diffcloth_tpu.geometry import objio
 from diffcloth_tpu.optim.helper import GradMask
 from diffcloth_tpu.tasks import registry
 
