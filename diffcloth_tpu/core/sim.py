@@ -305,6 +305,109 @@ class ClothSim:
             (x_fixed_seq, idx_f))
         return xN, vN, conv, iters
 
+    def episode_value_and_grad_chunked(self, loss_fn, chunk: int = 50):
+        """Episode loss + gradient with BOTH passes split into bounded
+        device calls of `chunk` steps (state carried on device, adjoint
+        cotangents carried between chunk VJPs host-side).
+
+        Numerically identical to `episode_value_and_grad` (same custom-VJP
+        step; the chain rule is associative over chunks) but no single XLA
+        execution covers more than `chunk` steps — required on remote-TPU
+        transports that kill long-running executions, and the natural
+        checkpointing granularity for horizons whose full residual stack
+        would not fit HBM.  The analog of the reference's per-step
+        runBackwardTask loop (Simulation.cpp:3853-3961), which is also
+        host-driven step by step.
+        """
+        h = self.h
+        N = self.n_steps
+        if N % chunk != 0:
+            # keep one compiled shape per pass
+            divisors = [c for c in range(chunk, 0, -1) if N % c == 0]
+            chunk = divisors[0]
+        n_chunks = N // chunk
+
+        def chunk_roll(x, v, params, p_inv, xfs_c, idxs_c):
+            def body(c, inp):
+                x, v = c
+                xf, i = inp
+                x2, v2, aux = self.step(x, v, params, xf, p_inv, i * h, i)
+                return (x2, v2), (x2, v2)
+            (xN, vN), (Xc, Vc) = jax.lax.scan(body, (x, v), (xfs_c, idxs_c))
+            return xN, vN, Xc, Vc
+
+        fwd_jit = jax.jit(chunk_roll)
+
+        def vjp_chunk(x, v, params, p_inv, xfs_c, idxs_c, cot):
+            _, vjp = jax.vjp(
+                lambda x_, v_, p_, xf_: chunk_roll(x_, v_, p_, p_inv,
+                                                   xf_, idxs_c),
+                x, v, params, xfs_c)
+            return vjp(cot)
+
+        bwd_jit = jax.jit(vjp_chunk)
+
+        def records_loss(X, V, xfs, params):
+            recs = EpisodeRecords(
+                x0=params.x0, v0=params.v0,
+                steps=StepRecord(
+                    x=X, v=V, f=jnp.zeros_like(X), r=jnp.zeros_like(X),
+                    x_fixed=xfs,
+                    converged=jnp.ones((N,), bool),
+                    iters=jnp.zeros((N,), jnp.int32),
+                    avg_deformation=jnp.ones((N,), X.dtype),
+                    max_deformation=jnp.ones((N,), X.dtype)))
+            return loss_fn(recs)
+
+        loss_grads = jax.jit(jax.value_and_grad(records_loss,
+                                                argnums=(0, 1, 3)))
+
+        def value_and_grad(params):
+            p_inv = self._p_inv_fn(params.k_pertype, params.density)
+            xfs, pull_xfs = jax.vjp(self.x_fixed_seq, params)
+            idx_f = jnp.arange(1, N + 1, dtype=self.dtype)
+
+            # forward, chunked
+            x, v = params.x0, params.v0
+            xs_in, vs_in, Xs, Vs = [], [], [], []
+            for c in range(n_chunks):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                xs_in.append(x)
+                vs_in.append(v)
+                x, v, Xc, Vc = fwd_jit(x, v, params, p_inv, xfs[sl],
+                                       idx_f[sl])
+                jax.block_until_ready(x)
+                Xs.append(Xc)
+                Vs.append(Vc)
+            X = jnp.concatenate(Xs)
+            V = jnp.concatenate(Vs)
+
+            # per-frame loss cotangents
+            L, (dLdX, dLdV, gp_loss) = loss_grads(X, V, xfs, params)
+
+            # backward, chunked (reverse)
+            cot_x = jnp.zeros_like(x)
+            cot_v = jnp.zeros_like(v)
+            g_params = gp_loss
+            g_xfs = jnp.zeros_like(xfs)
+            for c in reversed(range(n_chunks)):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                gx, gv, gp, gxf = bwd_jit(
+                    xs_in[c], vs_in[c], params, p_inv, xfs[sl], idx_f[sl],
+                    (cot_x, cot_v, dLdX[sl], dLdV[sl]))
+                jax.block_until_ready(gx)
+                cot_x, cot_v = gx, gv
+                g_params = jax.tree.map(jnp.add, g_params, gp)
+                g_xfs = g_xfs.at[sl].add(gxf)
+
+            # chain x_fixed trajectory -> spline params; initial-state grads
+            g_params = jax.tree.map(jnp.add, g_params, pull_xfs(g_xfs)[0])
+            g_params = g_params._replace(x0=g_params.x0 + cot_x,
+                                         v0=g_params.v0 + cot_v)
+            return L, g_params
+
+        return value_and_grad
+
     def episode_value_and_grad(self, loss_fn):
         """Returns jitted params -> (loss, dparams).  `loss_fn(records)` is a
         scalar function of the stacked records (see losses.py).

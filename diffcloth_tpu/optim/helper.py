@@ -54,7 +54,8 @@ class OptimizeHelper:
     """
 
     def __init__(self, sim, mask: GradMask, loss_fn,
-                 param_base: Optional[SimParams] = None):
+                 param_base: Optional[SimParams] = None,
+                 chunked: Optional[bool] = None, chunk: int = 50):
         self.sim = sim
         self.mask = mask
         self.loss_fn = loss_fn
@@ -62,7 +63,13 @@ class OptimizeHelper:
             sim.default_params()
         self._slots: List[_Slot] = []
         self._build_slots()
-        self._vg = sim.episode_value_and_grad(loss_fn)
+        # chunked episode adjoint for long horizons: one fused
+        # forward+backward executable over 300+ contact steps exceeds
+        # remote-TPU execution limits (see episode_value_and_grad_chunked)
+        if chunked is None:
+            chunked = sim.n_steps > 250
+        self._vg = (sim.episode_value_and_grad_chunked(loss_fn, chunk=chunk)
+                    if chunked else sim.episode_value_and_grad(loss_fn))
         self.eval_count = 0
         self.history: List[Tuple[float, np.ndarray]] = []
 
