@@ -67,14 +67,9 @@ def restore_checkpoint(root: str, step: Optional[int] = None,
     path = _step_dir(root, step)
     ckptr = ocp.PyTreeCheckpointer()
     if like is not None:
-        import jax
-        restore_args = jax.tree.map(
-            lambda a: ocp.RestoreArgs(restore_type=np.ndarray), like)
-        tree = ckptr.restore(os.path.abspath(path),
-                             restore_args=restore_args)
-        tree = jax.tree.map(
-            lambda a, l: np.asarray(a, dtype=np.asarray(l).dtype)
-            if hasattr(l, "dtype") else a, tree, like)
+        # restore INTO the example structure (tuples/NamedTuples survive;
+        # a bare restore returns lists/dicts)
+        tree = ckptr.restore(os.path.abspath(path), item=_to_host(like))
     else:
         tree = ckptr.restore(os.path.abspath(path))
     return step, tree
