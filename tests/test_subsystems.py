@@ -212,3 +212,25 @@ def test_native_matches_python(small, tmp_path):
     np.testing.assert_array_equal(
         fo.conn_table(scene.tris, scene.n),
         gbm.adjacency_exclusion(scene.n, scene.tris))
+
+
+def test_chunked_adjoint_matches_monolithic(small):
+    """episode_value_and_grad_chunked must be numerically identical to the
+    monolithic gradient (same custom-VJP step; chain rule associates over
+    chunks).  This is the long-horizon path OptimizeHelper auto-selects."""
+    scene, _, _, _ = small
+    sim = ClothSim(scene, dtype=jnp.float64)
+    params = sim.default_params()._replace(
+        wind=jnp.array([0.25, 0.04, 0.12], jnp.float64))
+    info = losses.LossInfo(
+        target_x=jnp.zeros((sim.n_steps + 1, sim.n, 3), jnp.float64))
+    loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    L1, g1 = sim.episode_value_and_grad(loss_fn)(params)
+    L2, g2 = sim.episode_value_and_grad_chunked(loss_fn, chunk=2)(params)
+    assert np.isclose(float(L1), float(L2), rtol=1e-12)
+    for field in ("wind", "wind_freq", "k_pertype", "density", "x0", "v0",
+                  "spline"):
+        a = np.asarray(getattr(g1, field))
+        b = np.asarray(getattr(g2, field))
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12,
+                                   err_msg=field)
