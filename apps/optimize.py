@@ -33,6 +33,9 @@ def main():
                     help="number of validity-filtered random restarts "
                          "(reference OptimizeHelper.cpp:316-359)")
     ap.add_argument("--maxiter", type=int, default=100)
+    ap.add_argument("--tau", type=float, default=0.0,
+                    help="softmax temperature for the keypoint loss "
+                         "(sock); 0 = reference hard max")
     ap.add_argument("--exp", default=None, help="experiment name")
     ap.add_argument("--gif", action="store_true",
                     help="with --mode visualize: write episode.gif")
@@ -86,9 +89,20 @@ def main():
         return
 
     from diffcloth_tpu.optim.solver import solve_demo
+    task_kwargs = {"keypoint_tau": args.tau} if args.tau > 0 else {}
     res = solve_demo(args.demo, seed=args.seed, maxiter=args.maxiter,
                      dtype=dtype, export_dir=out_dir,
-                     n_restarts=args.restarts)
+                     n_restarts=args.restarts, **task_kwargs)
+    if args.tau > 0:
+        # report the reference's hard-max loss at the smoothed optimum
+        from diffcloth_tpu import losses as _losses
+        import dataclasses as _dc
+        hard = _losses.make_loss_fn(
+            res.task.loss_type,
+            _dc.replace(res.task.loss_info, keypoint_tau=0.0))
+        params = res.helper.vec_to_params(res.result.x)
+        recs = res.task.sim.rollout(params)
+        print(f"hard-max loss at smoothed optimum: {float(hard(recs)):.6f}")
     r = res.result
     print(f"demo={args.demo} evals={r.n_evals} iters={r.n_iters} "
           f"loss {r.loss_history[0]:.6f} -> {r.loss:.6f} "

@@ -39,6 +39,13 @@ class LossInfo:
     keypoint_frames: Optional[jnp.ndarray] = None   # (K,) int32
     keypoint_targets: Optional[jnp.ndarray] = None  # (K,3)
     keypoint_candidates: Optional[jnp.ndarray] = None  # (K,C) int32, -1 pad
+    # tau > 0 replaces the hard max over candidates with a softmax-weighted
+    # mean (temperature tau, units of squared distance).  The hard max has a
+    # piecewise-constant active set, so on plateaus the subgradient sees only
+    # one candidate per keypoint; the smoothed loss -> the hard max as
+    # tau -> 0.  Optimization smoothing only — the reference's loss
+    # (Simulation.cpp:3440-3475) is the tau=0 case.
+    keypoint_tau: float = 0.0
 
 
 def match_trajectory(recs: EpisodeRecords, info: LossInfo):
@@ -132,6 +139,10 @@ def assisted_dressing_keypoints(recs: EpisodeRecords, info: LossInfo):
     d2 = jnp.sum((pos - info.keypoint_targets[:, None, :].astype(
         pos.dtype)) ** 2, axis=-1)                         # (K, C)
     d2 = jnp.where(valid, d2, -jnp.inf)
+    if info.keypoint_tau > 0.0:
+        tau = jnp.asarray(info.keypoint_tau, d2.dtype)
+        w = jax.nn.softmax(d2 / tau, axis=1)       # -inf pads get weight 0
+        return jnp.sum(w * jnp.where(valid, d2, 0.0)) / K
     return jnp.sum(jnp.max(d2, axis=1)) / K
 
 

@@ -154,7 +154,8 @@ def _generate_groundtruth(sim: ClothSim, params: SimParams):
     return jax.lax.stop_gradient(recs.full_x())
 
 
-def build_task(demo: str, dtype=jnp.float32, **sim_kwargs) -> TaskSetup:
+def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,
+               **sim_kwargs) -> TaskSetup:
     task = registry.DEMOS[demo]
     cfg = task.scene
     scene = gb.build_scene(cfg)
@@ -311,7 +312,8 @@ def build_task(demo: str, dtype=jnp.float32, **sim_kwargs) -> TaskSetup:
             loss_info,
             keypoint_frames=jnp.asarray(frames),
             keypoint_targets=jnp.asarray(targets, dtype),
-            keypoint_candidates=jnp.asarray(cands))
+            keypoint_candidates=jnp.asarray(cands),
+            keypoint_tau=keypoint_tau)
         # CORNERS_2_WEARSOCK spline endpoints (Simulation.cpp:2024-2053):
         # translation from sock top to foot top, yUp = -28
         foot_top = center + np.array([0.0, leg_len + 2 * r, 0.0])
