@@ -122,18 +122,44 @@ class ClothSim:
             cfg.backward_convergence_thresh
 
         self.scene_dev = scene_to_device(scene, dtype)
-        if len(scene.stages) > 1:
-            raise NotImplementedError(
-                "multi-stage attachment switching lands with the sim2real "
-                "task; all five headline demos use a single stage")
-        self.stage_host = scene.stages[0]
-        self.stage_dev = stage_to_device(self.stage_host, dtype)
+        # Attachment stages: one reference `sysMat` per stage, switched by
+        # frame number (Simulation.h:374, selection Simulation.cpp:1053-1068).
+        # TPU-native: stage boundaries are trace-time constants, so the
+        # episode is a *sequence of scans* — one per stage segment, each with
+        # its own baked attachment operators and prefactorized P — instead of
+        # a per-step dynamic select.  Single-stage scenes (all five headline
+        # demos) keep the exact previous single-scan shape.
+        self.stages_host = list(scene.stages)
+        self.stage_devs = [stage_to_device(s, dtype) for s in scene.stages]
+        self.stage_host = self.stages_host[0]
+        self.stage_dev = self.stage_devs[0]
+        self.n_stages = len(self.stages_host)
+        self.max_fixed = max((len(s.particle_idx) for s in self.stages_host),
+                             default=0)
+        # frames k in 1..N run stage s on [seg_start, seg_end); reference:
+        # stage i active iff forwardRecords.size() >= startFrameNum_i, last
+        # wins (Simulation.cpp:1053-1056)
+        starts = [s.start_frame for s in self.stages_host]
+        if starts != sorted(starts):
+            raise ValueError("attachment stages must be ordered by "
+                             "start_frame")
+        self._segments = []
+        for s in range(self.n_stages):
+            lo = max(starts[s], 1)
+            hi = starts[s + 1] if s + 1 < self.n_stages else cfg.step_num + 1
+            hi = max(min(hi, cfg.step_num + 1), lo)
+            if hi > lo:
+                self._segments.append((s, lo, hi))
         self.prims = prims if prims is not None else \
             ct.empty_primitive_set(dtype)
 
-        gram = slv.dense_gram_matrices(scene)[0]
-        self._p_inv_fn = slv.make_host_p_inv_fn(
-            gram, np.asarray(scene.area, np.float64), self.h, dtype)
+        grams = slv.dense_gram_matrices(scene)
+        area64 = np.asarray(scene.area, np.float64)
+        self._p_inv_fns = [slv.make_host_p_inv_fn(g, area64, self.h, dtype)
+                           for g in grams]
+        self._p_inv_fn = (self._p_inv_fns[0] if self.n_stages == 1 else
+                          lambda k, rho: tuple(f(k, rho)
+                                               for f in self._p_inv_fns))
 
         self_cfg = None
         if (self.flags.contact_enabled and self.flags.self_collision_enabled
@@ -160,21 +186,46 @@ class ClothSim:
             T2 = 2 * len(scene.triangle.area)
             Bn = len(scene.bending.n_rest)
             op_bytes = 4 * (2 * T2 * scene.n + 2 * Bn * scene.n
-                            + 3 * scene.n * scene.n)
+                            + 3 * scene.n * scene.n) * self.n_stages
             dense_ops = op_bytes <= 300 * 1024 * 1024
-        self.dense = None
+        self.dense_list = [None] * self.n_stages
         if dense_ops:
             from diffcloth_tpu.core import dense_ops as dn
-            self.dense = dn.build_dense_ops(scene, self.stage_host, dtype)
+            self.dense_list = [dn.build_dense_ops(scene, sh, dtype)
+                               for sh in self.stages_host]
+        self.dense = self.dense_list[0]
 
-        self.step, self.residual = step_mod.make_step(
-            self.scene_dev, self.stage_dev, self.prims,
-            h=self.h, wind_config=cfg.wind_config, flags=self.flags,
-            eps_forward=self.eps_forward, eps_backward=self.eps_backward,
-            max_forward_iters=max_forward_iters, solve_fn=solve_fn,
-            self_cfg=self_cfg, dense=self.dense)
+        self.steps = []
+        self.residuals = []
+        for sd, dnops in zip(self.stage_devs, self.dense_list):
+            st, rs = step_mod.make_step(
+                self.scene_dev, sd, self.prims,
+                h=self.h, wind_config=cfg.wind_config, flags=self.flags,
+                eps_forward=self.eps_forward,
+                eps_backward=self.eps_backward,
+                max_forward_iters=max_forward_iters, solve_fn=solve_fn,
+                self_cfg=self_cfg, dense=dnops)
+            self.steps.append(st)
+            self.residuals.append(rs)
+        self.step = self.steps[0]
+        self.residual = self.residuals[0]
 
     # ------------------------------------------------------------------ params
+
+    def _default_spline(self) -> jnp.ndarray:
+        """(F,9) for single-stage scenes; (S, F_max, 9) zero-padded stack for
+        multi-stage (one spline set per sysMat, Simulation.h:372)."""
+        per_stage = []
+        for sh, sd in zip(self.stages_host, self.stage_devs):
+            sp = spl.default_params_from_endpoints(
+                sd.spline_p0, jnp.asarray(sh.spline_p1, self.dtype),
+                sd.spline_yup)
+            if self.n_stages > 1:
+                sp = jnp.pad(sp, ((0, self.max_fixed - sp.shape[0]), (0, 0)))
+            per_stage.append(sp)
+        if self.n_stages == 1:
+            return per_stage[0]
+        return jnp.stack(per_stage)
 
     def default_params(self) -> SimParams:
         fab = self.cfg.fabric
@@ -187,45 +238,49 @@ class ClothSim:
         p = p._replace(
             x0=jnp.asarray(self.scene_host.x_rest, self.dtype),
             v0=jnp.asarray(self.scene_host.v_init, self.dtype),
-            spline=spl.default_params_from_endpoints(
-                self.stage_dev.spline_p0,
-                jnp.asarray(self.stage_host.spline_p1, self.dtype),
-                self.stage_dev.spline_yup),
+            spline=self._default_spline(),
         )
         if self.prims.kind.shape[0] > 0:
             p = p._replace(mu=self.prims.mu.astype(self.dtype))
         return p
 
-    def p_inv(self, params: SimParams) -> jnp.ndarray:
+    def p_inv(self, params: SimParams):
         """Refactorize the PD system for a parameter guess (the TPU analogue
-        of resetSystemWithParams -> initializePrefactoredMatrices)."""
+        of resetSystemWithParams -> initializePrefactoredMatrices).  Returns
+        the (n,n) inverse for single-stage scenes, a tuple of per-stage
+        inverses otherwise (one prefactorization per sysMat,
+        Simulation.cpp:2969-3059)."""
         return self._p_inv_fn(params.k_pertype, params.density)
 
     # -------------------------------------------------------- fixed trajectory
 
-    def x_fixed_seq(self, params: SimParams) -> jnp.ndarray:
-        """(N, F, 3) clip positions for steps 1..N (stepFixPoints,
-        Simulation.cpp:964-1018), differentiable w.r.t. spline params."""
-        N = self.n_steps
-        F = len(self.stage_host.particle_idx)
+    def _xf_for_stage(self, s: int, params: SimParams,
+                      fracs: jnp.ndarray) -> jnp.ndarray:
+        """(len(fracs), F_s, 3) clip positions for stage s at the given
+        global simulation-time fractions (stepFixPoints evaluates splines at
+        the whole-episode fraction regardless of stage,
+        Simulation.cpp:1004-1011)."""
+        sh, sd = self.stages_host[s], self.stage_devs[s]
+        F = len(sh.particle_idx)
         traj = self.cfg.trajectory
-        rest = self.stage_dev.fixed_pos_rest.astype(self.dtype)
+        rest = sd.fixed_pos_rest.astype(self.dtype)
+        L = fracs.shape[0]
         if F == 0 or traj == TrajectoryConfig.NO_TRAJECTORY:
-            return jnp.broadcast_to(rest, (N, F, 3))
-        fracs = (jnp.arange(1, N + 1, dtype=self.dtype)) / N
+            return jnp.broadcast_to(rest, (L, F, 3))
         if traj in (TrajectoryConfig.CORNERS_2_UP,
                     TrajectoryConfig.CORNERS_2_WEARHAT,
                     TrajectoryConfig.CORNERS_1_WEARHAT,
                     TrajectoryConfig.CORNERS_2_WEARSOCK):
-            return spl.eval_splines(self.spline_type, params.spline,
-                                    self.stage_dev.spline_p0,
-                                    self.stage_dev.spline_yup, fracs)
+            spline = params.spline if self.n_stages == 1 else \
+                params.spline[s, :F]
+            return spl.eval_splines(self.spline_type, spline,
+                                    sd.spline_p0, sd.spline_yup, fracs)
         if traj == TrajectoryConfig.TRAJECTORY_DRESS_TWIRL:
             # per-step rotation of 0.02 rad about the vertical axis through
             # restShapeMidPoint (Simulation.cpp:980-994); closed form since
             # rotation about y preserves y
             mid = jnp.asarray(self.scene_host.rest_mid, self.dtype)
-            ang = 0.02 * jnp.arange(1, N + 1, dtype=self.dtype)
+            ang = 0.02 * fracs * self.n_steps
             rel = rest - jnp.array([mid[0], 0.0, mid[2]], self.dtype)
             cx, sx = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]
             x_rot = cx * rel[None, :, 0] + sx * rel[None, :, 2]
@@ -237,36 +292,71 @@ class ClothSim:
             return out
         raise NotImplementedError(f"trajectory {traj}")
 
+    def x_fixed_seq(self, params: SimParams) -> jnp.ndarray:
+        """(N, F, 3) clip positions for steps 1..N (stepFixPoints,
+        Simulation.cpp:964-1018), differentiable w.r.t. spline params.
+        Multi-stage scenes pad F to the max stage size; each segment's scan
+        consumes only its stage's leading F_s rows."""
+        N = self.n_steps
+        fracs = (jnp.arange(1, N + 1, dtype=self.dtype)) / N
+        if self.n_stages == 1:
+            return self._xf_for_stage(0, params, fracs)
+        parts = []
+        for s, lo, hi in self._segments:
+            xf = self._xf_for_stage(s, params, fracs[lo - 1:hi - 1])
+            parts.append(jnp.pad(
+                xf, ((0, 0), (0, self.max_fixed - xf.shape[1]), (0, 0))))
+        return jnp.concatenate(parts, axis=0)
+
     # ---------------------------------------------------------------- episode
 
+    def _p_inv_of(self, p_inv, s: int):
+        return p_inv if self.n_stages == 1 else p_inv[s]
+
     @functools.partial(jax.jit, static_argnums=0)
-    def simulate(self, params: SimParams, p_inv: jnp.ndarray,
+    def simulate(self, params: SimParams, p_inv,
                  x_fixed_seq: jnp.ndarray) -> EpisodeRecords:
         """Full rollout: frame 0 (initial state, forwardRecords[0]) plus the
-        scan-stacked records for steps 1..N."""
+        scan-stacked records for steps 1..N.  One scan per attachment-stage
+        segment (single-stage scenes: exactly one)."""
         h = self.h
         from diffcloth_tpu.core import diagnostics as diag
 
-        def body(carry, inp):
-            x, v, frozen = carry
-            x_fixed, idx_f = inp
-            t = idx_f * h
-            x2, v2, aux = self.step(x, v, params, x_fixed, p_inv, t, idx_f)
-            # explosion freeze: once the state blows up, the remaining
-            # rollout passes through unchanged (Simulation.cpp:1415-1424)
-            frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
-            x2 = jnp.where(frozen, x, x2)
-            v2 = jnp.where(frozen, v, v2)
-            rec = StepRecord(x=x2, v=v2, f=aux.f, r=aux.r, x_fixed=x_fixed,
-                             converged=aux.converged, iters=aux.iters,
-                             avg_deformation=aux.avg_deformation,
-                             max_deformation=aux.max_deformation)
-            return (x2, v2, frozen), rec
+        def seg_recs(s, lo, hi, carry):
+            step = self.steps[s]
+            F_s = len(self.stages_host[s].particle_idx)
+            p_inv_s = self._p_inv_of(p_inv, s)
 
-        idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)
-        (_, _, _), recs = jax.lax.scan(
-            body, (params.x0, params.v0, jnp.asarray(False)),
-            (x_fixed_seq, idx_f))
+            def body(carry, inp):
+                x, v, frozen = carry
+                x_fixed, idx_f = inp
+                t = idx_f * h
+                x2, v2, aux = step(x, v, params, x_fixed, p_inv_s, t, idx_f)
+                # explosion freeze: once the state blows up, the remaining
+                # rollout passes through unchanged (Simulation.cpp:1415-1424)
+                frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
+                x2 = jnp.where(frozen, x, x2)
+                v2 = jnp.where(frozen, v, v2)
+                xf_rec = jnp.pad(
+                    x_fixed, ((0, self.max_fixed - F_s), (0, 0)))
+                rec = StepRecord(x=x2, v=v2, f=aux.f, r=aux.r,
+                                 x_fixed=xf_rec,
+                                 converged=aux.converged, iters=aux.iters,
+                                 avg_deformation=aux.avg_deformation,
+                                 max_deformation=aux.max_deformation)
+                return (x2, v2, frozen), rec
+
+            idx_f = jnp.arange(lo, hi, dtype=self.dtype)
+            return jax.lax.scan(
+                body, carry, (x_fixed_seq[lo - 1:hi - 1, :F_s], idx_f))
+
+        carry = (params.x0, params.v0, jnp.asarray(False))
+        rec_parts = []
+        for s, lo, hi in self._segments:
+            carry, recs = seg_recs(s, lo, hi, carry)
+            rec_parts.append(recs)
+        recs = rec_parts[0] if len(rec_parts) == 1 else jax.tree.map(
+            lambda *a: jnp.concatenate(a, axis=0), *rec_parts)
         return EpisodeRecords(x0=params.x0, v0=params.v0, steps=recs)
 
     def rollout(self, params: SimParams) -> EpisodeRecords:
@@ -275,7 +365,7 @@ class ClothSim:
                              self.x_fixed_seq(params))
 
     @functools.partial(jax.jit, static_argnums=0)
-    def simulate_final(self, params: SimParams, p_inv: jnp.ndarray,
+    def simulate_final(self, params: SimParams, p_inv,
                        x_fixed_seq: jnp.ndarray):
         """Lean rollout: final (x,v) plus per-step scalars only — no stacked
         (n,3) per-step outputs.
@@ -289,20 +379,33 @@ class ClothSim:
 
         from diffcloth_tpu.core import diagnostics as diag
 
-        def body(carry, inp):
-            x, v, frozen = carry
-            x_fixed, idx_f = inp
-            x2, v2, aux = self.step(x, v, params, x_fixed, p_inv,
-                                    idx_f * h, idx_f)
-            frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
-            x2 = jnp.where(frozen, x, x2)
-            v2 = jnp.where(frozen, v, v2)
-            return (x2, v2, frozen), (aux.converged, aux.iters)
+        def seg_scan(s, lo, hi, carry):
+            step = self.steps[s]
+            F_s = len(self.stages_host[s].particle_idx)
+            p_inv_s = self._p_inv_of(p_inv, s)
 
-        idx_f = jnp.arange(1, self.n_steps + 1, dtype=self.dtype)
-        (xN, vN, _), (conv, iters) = jax.lax.scan(
-            body, (params.x0, params.v0, jnp.asarray(False)),
-            (x_fixed_seq, idx_f))
+            def body(carry, inp):
+                x, v, frozen = carry
+                x_fixed, idx_f = inp
+                x2, v2, aux = step(x, v, params, x_fixed, p_inv_s,
+                                   idx_f * h, idx_f)
+                frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
+                x2 = jnp.where(frozen, x, x2)
+                v2 = jnp.where(frozen, v, v2)
+                return (x2, v2, frozen), (aux.converged, aux.iters)
+
+            idx_f = jnp.arange(lo, hi, dtype=self.dtype)
+            return jax.lax.scan(
+                body, carry, (x_fixed_seq[lo - 1:hi - 1, :F_s], idx_f))
+
+        carry = (params.x0, params.v0, jnp.asarray(False))
+        parts = []
+        for s, lo, hi in self._segments:
+            carry, out = seg_scan(s, lo, hi, carry)
+            parts.append(out)
+        xN, vN, _ = carry
+        conv = jnp.concatenate([p[0] for p in parts])
+        iters = jnp.concatenate([p[1] for p in parts])
         return xN, vN, conv, iters
 
     def episode_value_and_grad_chunked(self, loss_fn, chunk: int = 50):
@@ -319,6 +422,11 @@ class ClothSim:
         runBackwardTask loop (Simulation.cpp:3853-3961), which is also
         host-driven step by step.
         """
+        if self.n_stages > 1:
+            # multi-stage horizons in the reference configs are short; the
+            # monolithic gradient (segmented scans) is both simpler and
+            # exactly what chunking would reproduce
+            return self.episode_value_and_grad(loss_fn)
         h = self.h
         N = self.n_steps
         if N % chunk != 0:
