@@ -94,7 +94,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
               eps_forward: float, eps_backward: float,
               max_forward_iters: Optional[int] = None,
               solve_fn=None, self_cfg: Optional[SelfColConfig] = None,
-              dense: Optional[dn.DenseOps] = None):
+              dense: Optional[dn.DenseOps] = None, sparse=None):
     """Build the custom-VJP PD step for one attachment stage.
 
     Topology tensors (scene/stage/prims) are baked as trace-time constants;
@@ -104,8 +104,11 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     `dense`: dense MXU constraint operators (core/dense_ops.py).  When given,
     every A / A^T / A^T A application is a dense matmul and projections are
     computed from y = A x with no vertex gathers — ~8x faster per PD
-    iteration at tshirt scale and batch-scalable; the gather/scatter path
-    remains for large meshes.
+    iteration at tshirt scale and batch-scalable.
+
+    `sparse`: scatter-free incidence operators (core/sparse_ops.py) for
+    meshes too large for the dense path; falls back to the plain
+    gather/scatter path when both are None.
     """
     n = int(scene.area.shape[0])
     # pluggable global solve: default is the local dense P^{-1} matmul; the
