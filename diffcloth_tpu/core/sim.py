@@ -100,7 +100,8 @@ class ClothSim:
                  max_forward_iters: Optional[int] = None,
                  solve_fn=None, self_cap_pairs: Optional[int] = None,
                  self_max_layers: int = 16,
-                 dense_ops: Optional[bool] = None):
+                 dense_ops: Optional[bool] = None,
+                 sparse_ops: Optional[bool] = None):
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
@@ -182,6 +183,8 @@ class ClothSim:
         # jitted step and embed in the executable as constants, so the gate
         # is on total operator bytes (the axon remote-compile transport
         # rejects program uploads past a few hundred MB).
+        if sparse_ops:
+            dense_ops = False
         if dense_ops is None:
             T2 = 2 * len(scene.triangle.area)
             Bn = len(scene.bending.n_rest)
@@ -194,17 +197,29 @@ class ClothSim:
             self.dense_list = [dn.build_dense_ops(scene, sh, dtype)
                                for sh in self.stages_host]
         self.dense = self.dense_list[0]
+        # large-mesh path: scatter-free incidence operators (sparse_ops.py)
+        # whenever the dense gate fails — the plain gather/scatter path
+        # (sparse_ops=False) survives only as a reference oracle for tests
+        if sparse_ops is None:
+            sparse_ops = not dense_ops
+        self.sparse_list = [None] * self.n_stages
+        if sparse_ops and not dense_ops:
+            from diffcloth_tpu.core import sparse_ops as spo
+            self.sparse_list = [spo.build_sparse_ops(scene, sh, dtype)
+                                for sh in self.stages_host]
+        self.sparse = self.sparse_list[0]
 
         self.steps = []
         self.residuals = []
-        for sd, dnops in zip(self.stage_devs, self.dense_list):
+        for sd, dnops, spops in zip(self.stage_devs, self.dense_list,
+                                    self.sparse_list):
             st, rs = step_mod.make_step(
                 self.scene_dev, sd, self.prims,
                 h=self.h, wind_config=cfg.wind_config, flags=self.flags,
                 eps_forward=self.eps_forward,
                 eps_backward=self.eps_backward,
                 max_forward_iters=max_forward_iters, solve_fn=solve_fn,
-                self_cfg=self_cfg, dense=dnops)
+                self_cfg=self_cfg, dense=dnops, sparse=spops)
             self.steps.append(st)
             self.residuals.append(rs)
         self.step = self.steps[0]

@@ -46,6 +46,7 @@ from diffcloth_tpu.core import constraints as cons
 from diffcloth_tpu.core import contact as ct
 from diffcloth_tpu.core import dense_ops as dn
 from diffcloth_tpu.core import selfcol as sc
+from diffcloth_tpu.core import sparse_ops as spo
 from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev
 
 
@@ -54,6 +55,45 @@ class SelfColConfig(NamedTuple):
     cand: jnp.ndarray      # (P,2) int32 candidate pairs (non-adjacent)
     cap_pairs: int
     max_layers: int
+
+
+def _gmres_cycle(op, b, x0, m: int):
+    """One GMRES(m) cycle on op(u) = b from x0 — plain lax ops only.
+
+    `jax.scipy.sparse.linalg.gmres` builds a `custom_linear_solve`, which
+    requires a *transposable* matvec; the scatter-free sparse operators
+    (core/sparse_ops.py) are `custom_vjp` functions with no transpose rule.
+    This runs inside the step's backward pass (never differentiated), so a
+    hand-rolled Arnoldi cycle with static shapes is both sufficient and
+    simpler.  Operands are flattened to vectors; H is the (m+1, m)
+    Hessenberg least-squares system solved densely at the end."""
+    shape = x0.shape
+    flat = lambda a: a.reshape(-1)
+    r0 = flat(b - op(x0))
+    beta = jnp.linalg.norm(r0)
+    N = r0.shape[0]
+    V = jnp.zeros((m + 1, N), r0.dtype).at[0].set(
+        r0 / jnp.maximum(beta, 1e-30))
+    H = jnp.zeros((m + 1, m), r0.dtype)
+
+    def arnoldi(j, carry):
+        V, H = carry
+        w = flat(op(V[j].reshape(shape)))
+        # modified Gram-Schmidt against all m+1 slots (rows > j are zero)
+        def mgs(i, c):
+            w, H = c
+            hij = jnp.where(i <= j, jnp.dot(V[i], w), 0.0)
+            return w - hij * V[i], H.at[i, j].set(hij)
+        w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+        hnext = jnp.linalg.norm(w)
+        H = H.at[j + 1, j].set(hnext)
+        V = V.at[j + 1].set(w / jnp.maximum(hnext, 1e-30))
+        return V, H
+
+    V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+    e1 = jnp.zeros((m + 1,), r0.dtype).at[0].set(beta)
+    y, *_ = jnp.linalg.lstsq(H, e1)
+    return x0 + (y @ V[:m]).reshape(shape)
 
 
 def _solve(p_inv, rhs):
@@ -175,6 +215,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         if dense is not None:
             y_s, y_b, y_a, y_sp = dn.apply_A(dense, x)
             return y_s, y_b, y_a, y_sp
+        if sparse is not None:
+            return spo.apply_A(sparse, x)
         return (cons.apply_rows(scene.s_rows_idx, scene.s_rows_w, x),
                 cons.apply_rows(scene.b_rows_idx, scene.b_rows_w, x),
                 cons.apply_rows(stage.attach_idx, stage.attach_w, x),
@@ -188,6 +230,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             p_s, p_b, p_a, p_sp = dn.projections_from_y(
                 dense, y_eval[0], y_eval[1], x_fixed, y_sp=y_eval[3])
             return p_s, p_b, p_a, p_sp
+        if sparse is not None:
+            return spo.projections(sparse, scene, x_eval, x_fixed)
         p_s, p_b, p_a, p_sp = cons.all_projections(scene, stage, x_eval,
                                                    x_fixed)
         return p_s, p_b, p_a, p_sp
@@ -195,6 +239,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     def apply_At_all(k_pertype, d_s, d_b, d_a, d_sp):
         if dense is not None:
             return dn.apply_At(dense, k_pertype, d_s, d_b, d_a, d_sp)
+        if sparse is not None:
+            return spo.apply_At(sparse, k_pertype, d_s, d_b, d_a, d_sp)
         return cons.apply_At_p(scene, stage, k_pertype, d_s, d_b, d_a, n,
                                p_spring=d_sp)
 
@@ -202,6 +248,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         if dense is not None:
             Sk = Sk if Sk is not None else dn.weighted_S(dense, k_pertype)
             return dn.apply_S(Sk, v)
+        if sparse is not None:
+            return spo.apply_AtA(sparse, k_pertype, v)
         return cons.apply_AtA(scene, stage, k_pertype, v)
 
     def friction(params, contact: ct.ContactSet, selfc, m, f,
@@ -437,15 +485,14 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         def gmres_fallback(_):
             # small budget on purpose: the fallback only fires on
             # divergent steps, and each matvec costs a full residual VJP;
-            # 16 Krylov vectors with the P^{-1} preconditioner already
-            # reduces the adjoint residual by orders of magnitude, while a
-            # large budget makes the fused episode-gradient executable slow
-            # enough to trip remote-TPU execution limits
-            sol, _info = jax.scipy.sparse.linalg.gmres(
-                lambda u: vjp_v(u)[0], w,
-                x0=jnp.where(jnp.isfinite(lam0), lam0, 0.0),
-                M=lambda r: solve_fn(p_inv, r),
-                tol=1e-5, restart=16, maxiter=1)
+            # 16 Krylov vectors with the P^{-1} (left) preconditioner
+            # already reduces the adjoint residual by orders of magnitude,
+            # while a large budget makes the fused episode-gradient
+            # executable slow enough to trip remote-TPU execution limits
+            sol = _gmres_cycle(
+                lambda u: solve_fn(p_inv, vjp_v(u)[0]),
+                solve_fn(p_inv, w),
+                jnp.where(jnp.isfinite(lam0), lam0, 0.0), m=16)
             return jnp.where(jnp.isfinite(sol), sol, 0.0)
 
         lam = jax.lax.cond(back_ok & ~back_bad,
