@@ -32,7 +32,7 @@ class PrimitiveSet(NamedTuple):
     `kind`, `rotates`, `enabled` are host numpy — they select Python-level
     code paths at trace time and must stay concrete."""
     kind: np.ndarray         # (P,) int32 (HOST)
-    center: jnp.ndarray      # (P,3)
+    center: jnp.ndarray      # (P,3) pose at t=0 (kinematic prims advance)
     velocity: jnp.ndarray    # (P,3)
     radius: jnp.ndarray      # (P,) sphere/capsule/bowl radius
     length: jnp.ndarray      # (P,) capsule length
@@ -43,6 +43,8 @@ class PrimitiveSet(NamedTuple):
     rotates: np.ndarray      # (P,) bool (HOST) — rotating-sphere field
     mu: jnp.ndarray          # (P,) default friction (used unless optimized)
     enabled: np.ndarray      # (P,) bool (HOST)
+    kinematic: object = None  # (P,) bool (HOST) — advance center by
+    #                           velocity; None == all static
 
 
 def empty_primitive_set(dtype=jnp.float32) -> PrimitiveSet:
@@ -52,7 +54,27 @@ def empty_primitive_set(dtype=jnp.float32) -> PrimitiveSet:
         radius=z(0), length=z(0), axis_rot=jnp.zeros((0, 3, 3), dtype),
         plane_normal=z(0, 3), plane_upper_left=z(0, 3),
         plane_upper_right=z(0, 3), rotates=np.zeros((0,), bool),
-        mu=z(0), enabled=np.zeros((0,), bool))
+        mu=z(0), enabled=np.zeros((0,), bool),
+        kinematic=np.zeros((0,), bool))
+
+
+def prims_at_time(prims: PrimitiveSet, t) -> PrimitiveSet:
+    """Kinematic primitive stepping in closed form: center(t) = c0 + t * v
+    for primitives marked kinematic (reference: Primitive::step advances
+    center += h * velocity each frame when !isStatic, Primitive.h:129-136,
+    driven by stepPrimitives, Simulation.cpp:954-960 / 1081.  NOTE the
+    reference's non-static path advances the center a second time inside
+    step() at Simulation.cpp:1143-1150 — a double-advance no demo exercises;
+    this implementation uses the single-advance semantics the code intends).
+
+    Static primitives (the default) are untouched, so scenes without
+    kinematic obstacles trace to the identical graph as before."""
+    if (prims.kind.shape[0] == 0 or prims.kinematic is None
+            or not bool(np.any(prims.kinematic))):
+        return prims
+    kin = jnp.asarray(prims.kinematic)[:, None]
+    center_t = prims.center + jnp.where(kin, t * prims.velocity, 0.0)
+    return prims._replace(center=center_t)
 
 
 class ContactSet(NamedTuple):
@@ -136,13 +158,19 @@ def _capsule_test(prims: PrimitiveSet, j, pos):
 
 
 def _bowl_test(prims: PrimitiveSet, j, pos):
-    """Inside-of-sphere contact (reference: Bowl::isInContact,
-    Primitive.cpp:362+): the surface is the sphere interior."""
+    """reference: Bowl::isInContact (Primitive.cpp:360-379), replicated
+    exactly: contact iff the point lies (a) inside the sphere up to
+    COLLISION_EPSILON = 0.005, (b) in the LOWER half (pos.y <= center.y),
+    and (c) within EPSILON of the shell (|pos-c| > r - eps) — i.e. a thin
+    lower-hemisphere shell, not the whole interior.  Normal points inward
+    (center - pos, normalized); dist = |pos-c| - r."""
+    EPS_BOWL = 0.005
     rel = pos - prims.center[j]
-    r = jnp.linalg.norm(rel, axis=-1)
-    dist = prims.radius[j] - r
-    hit = dist < 0.1
+    rn = jnp.linalg.norm(rel, axis=-1)
+    dist = rn - prims.radius[j]
     normal = -_safe_normalize(rel)
+    lower = pos[..., 1] <= prims.center[j, 1]
+    hit = (dist <= EPS_BOWL) & lower & (rn > prims.radius[j] - EPS_BOWL)
     return hit, normal, dist, jnp.broadcast_to(prims.velocity[j], pos.shape)
 
 
@@ -150,10 +178,13 @@ _TESTS = [_sphere_test, _plane_test, _capsule_test, _bowl_test]
 
 
 def detect_obstacle_contacts(prims: PrimitiveSet, x: jnp.ndarray,
-                             v: jnp.ndarray, h: float) -> ContactSet:
+                             v: jnp.ndarray, h: float,
+                             t=None) -> ContactSet:
     """Per-particle first-hit test against every primitive at t, t+h/2, t+h
     (reference: isInContactWithObstacle, Simulation.cpp:153-191; the first
-    colliding primitive in index order wins)."""
+    colliding primitive in index order wins).  `t` (simulation time of the
+    step being produced) advances kinematic primitives; omit for static
+    scenes."""
     n = x.shape[0]
     P = prims.kind.shape[0]
     mask = jnp.zeros((n,), bool)
@@ -162,6 +193,8 @@ def detect_obstacle_contacts(prims: PrimitiveSet, x: jnp.ndarray,
     prim_id = jnp.zeros((n,), jnp.int32)
     if P == 0:
         return ContactSet(mask, normal, v_out, prim_id)
+    if t is not None:
+        prims = prims_at_time(prims, t)
     for j in range(P):  # static unroll over the (few) primitives
         kind = int(prims.kind[j])
         test = _TESTS[kind]

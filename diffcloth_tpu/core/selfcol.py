@@ -62,18 +62,18 @@ def build_candidate_pairs(conn_table: np.ndarray,
     return pairs
 
 
-def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
-                           x: jnp.ndarray, v: jnp.ndarray, h: float,
-                           cap_pairs: int) -> SelfContactSet:
-    """Swept sphere–sphere test over the candidate list, compacted to a
-    fixed-capacity active set.
+def _narrow_phase(i: jnp.ndarray, j: jnp.ndarray, valid: jnp.ndarray,
+                  radii: jnp.ndarray, x: jnp.ndarray, v: jnp.ndarray,
+                  h: float, cap_pairs: int) -> SelfContactSet:
+    """Swept sphere–sphere test over (i, j, valid) candidate arrays,
+    compacted to a fixed-capacity active set.
 
     reference math (Simulation.cpp:194-219): with p(t) = (x_i-x_j) +
     t (v_i-v_j), min distance over t in {0, h, t*} where t* = -2 v.p0/|v|^2
     clamped to [0, h]; collides when min dist < r_i + r_j."""
-    cap_pairs = min(cap_pairs, int(cand.shape[0]))
-    i = cand[:, 0]
-    j = cand[:, 1]
+    # canonicalize (min, max) so downstream layering is independent of the
+    # broad phase's candidate ordering
+    i, j = jnp.minimum(i, j), jnp.maximum(i, j)
     p0 = x[i] - x[j]                       # (P,3)
     dv = v[i] - v[j]
     p1 = p0 + h * dv
@@ -88,7 +88,7 @@ def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
     dmin = jnp.minimum(d0, d1)
     dmin = jnp.where(in_seg, jnp.minimum(dmin, d_mid), dmin)
     thresh = radii[i] + radii[j]
-    hit = dmin < thresh
+    hit = (dmin < thresh) & valid
 
     # compact to fixed capacity via cumsum positions + scatter (keeps
     # candidate order like the reference's sequential scan; O(P) — a full
@@ -111,16 +111,95 @@ def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
         layer=jnp.full((cap_pairs,), -1, jnp.int32), overflow=overflow)
 
 
+def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
+                           x: jnp.ndarray, v: jnp.ndarray, h: float,
+                           cap_pairs: int) -> SelfContactSet:
+    """Narrow phase over an explicit candidate pair list (all-pairs oracle
+    path; the production path is detect_self_collisions_sweep)."""
+    cap_pairs = min(cap_pairs, int(cand.shape[0]))
+    i = cand[:, 0]
+    j = cand[:, 1]
+    return _narrow_phase(i, j, jnp.ones(i.shape, bool), radii, x, v, h,
+                         cap_pairs)
+
+
+def detect_self_collisions_sweep(allowed: jnp.ndarray, radii: jnp.ndarray,
+                                 x: jnp.ndarray, v: jnp.ndarray, h: float,
+                                 window: int,
+                                 cap_pairs: int) -> SelfContactSet:
+    """Broad phase (sweep-and-prune) + narrow phase, all inside jit.
+
+    The reference prunes candidate pairs with a 1-D uniform grid on the
+    longest AABB axis (≤512 cells, Simulation.cpp:278-356) plus a hard
+    `dist > 1.0` cutoff (:323).  The TPU-native equivalent sorts particles
+    along the longest *current* AABB axis and considers only pairs within
+    `window` positions in sorted order whose axis gap is below the
+    conservative reach
+
+        gap < r_i + r_j + h (|v_i| + |v_j|)
+
+    — a lower bound on the swept minimum distance, so no truly colliding
+    pair is ever pruned.  Pairs the window cannot see (more than `window`
+    particles inside one reach-length slab) raise the overflow flag so the
+    window can be bumped at recompile; per-step cost is O(n log n) for the
+    sort plus O(n * window) for the tests, with no O(n^2) term anywhere.
+
+    `allowed` is the (n,n) symmetric non-adjacency table (~conn_table with
+    zero diagonal); mesh-adjacent pairs are excluded exactly as the
+    reference excludes them via pointpointConnectionTable
+    (Simulation.cpp:319)."""
+    n = x.shape[0]
+    window = min(window, n - 1)
+    lo = jnp.min(x, axis=0)
+    hi = jnp.max(x, axis=0)
+    ax = jnp.argmax(hi - lo)
+    key = jnp.sum(x * jax.nn.one_hot(ax, 3, dtype=x.dtype)[None, :], axis=-1)
+    perm = jnp.argsort(key).astype(jnp.int32)
+    skey = key[perm]
+    speed = jnp.linalg.norm(v, axis=-1)
+    s_srt = speed[perm]
+    r_srt = radii.astype(x.dtype)[perm]
+
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]          # (1,n)
+    off = jnp.arange(1, window + 1, dtype=jnp.int32)[:, None]  # (W,1)
+    pos2 = pos + off                                       # (W,n)
+    in_range = pos2 < n
+    pos2c = jnp.minimum(pos2, n - 1)
+    i = jnp.broadcast_to(perm[None, :], pos2.shape)        # (W,n)
+    j = perm[pos2c]
+    gap = skey[pos2c] - skey[None, :]
+    reach = (r_srt[None, :] + r_srt[pos2c]
+             + h * (s_srt[None, :] + s_srt[pos2c]))
+    near = gap < reach
+    adj_ok = allowed[i.reshape(-1), j.reshape(-1)].reshape(i.shape)
+    valid = in_range & near & adj_ok
+
+    # window-miss detection: if the particle `window` slots ahead is still
+    # within the most conservative reach bound, a candidate may have been
+    # pruned by the window alone -> flag for a capacity bump
+    r_max = jnp.max(r_srt)
+    s_max = jnp.max(s_srt)
+    key_ahead = jnp.concatenate(
+        [skey[window:], jnp.full((window,), jnp.inf, skey.dtype)])
+    missed = jnp.any(key_ahead - skey < r_srt + r_max
+                     + h * (s_srt + s_max))
+
+    cs = _narrow_phase(i.reshape(-1), j.reshape(-1), valid.reshape(-1),
+                       radii, x, v, h, cap_pairs)
+    return cs._replace(overflow=cs.overflow | missed)
+
+
 def assign_layers(contacts: SelfContactSet, n_particles: int,
                   max_layers: int) -> SelfContactSet:
     """K rounds of parallel greedy maximal matching (see module docstring).
 
-    Each round: every unassigned active pair writes its slot index to both
-    endpoints with scatter-min; a pair joins the layer iff it won both.
+    Each round: every unassigned active pair writes its canonical pair id
+    (i*n + j, lexicographic — NOT its slot position, so the result is
+    independent of the broad phase's candidate ordering) to both endpoints
+    with scatter-min; a pair joins the layer iff it won both.
     Invariant: within a layer no particle appears twice."""
-    C = contacts.mask.shape[0]
-    slot_ids = jnp.arange(C, dtype=jnp.int32)
-    BIG = jnp.int32(C + 1)
+    slot_ids = contacts.pair_i * jnp.int32(n_particles) + contacts.pair_j
+    BIG = jnp.int32(n_particles) * jnp.int32(n_particles) + 1
 
     def round_cond(state):
         layer, unassigned, k = state

@@ -99,7 +99,7 @@ class ClothSim:
                  eps_backward: Optional[float] = None,
                  max_forward_iters: Optional[int] = None,
                  solve_fn=None, self_cap_pairs: Optional[int] = None,
-                 self_max_layers: int = 16,
+                 self_max_layers: int = 16, self_window: int = 48,
                  dense_ops: Optional[bool] = None,
                  sparse_ops: Optional[bool] = None):
         cfg = scene.cfg
@@ -164,16 +164,18 @@ class ClothSim:
 
         self_cfg = None
         if (self.flags.contact_enabled and self.flags.self_collision_enabled
-                and self.prims.kind.shape[0] > 0):
-            # self-collision only matters for scenes with obstacles in the
-            # reference demos; candidate pairs are all non-mesh-adjacent
-            # pairs (reference broad phase prunes at runtime; for n up to a
-            # few thousand the dense masked test vectorizes better on TPU)
-            cand = gb_selfcol_candidates(scene)
+                and scene.n > 1):
+            # the reference enables self-collision for EVERY demo, incl.
+            # obstacle-free ones (setWindAncCollision(_, _, true) in all
+            # branches of OptimizationTaskSetup.cpp:154-224); broad phase =
+            # sweep-and-prune along the longest AABB axis
+            # (selfcol.detect_self_collisions_sweep)
+            allowed = ~scene.conn_table & ~np.eye(scene.n, dtype=bool)
             cap = self_cap_pairs or max(128, scene.n // 2)
+            window = min(self_window, scene.n - 1)
             self_cfg = step_mod.SelfColConfig(
-                cand=jnp.asarray(cand, jnp.int32), cap_pairs=cap,
-                max_layers=self_max_layers)
+                allowed=jnp.asarray(allowed), window=window,
+                cap_pairs=cap, max_layers=self_max_layers)
         self.self_cfg = self_cfg
 
         # dense MXU constraint operators: default on up to a size where the
@@ -358,7 +360,8 @@ class ClothSim:
                                  x_fixed=xf_rec,
                                  converged=aux.converged, iters=aux.iters,
                                  avg_deformation=aux.avg_deformation,
-                                 max_deformation=aux.max_deformation)
+                                 max_deformation=aux.max_deformation,
+                                 selfcol_overflow=aux.selfcol_overflow)
                 return (x2, v2, frozen), rec
 
             idx_f = jnp.arange(lo, hi, dtype=self.dtype)
@@ -479,7 +482,8 @@ class ClothSim:
                     converged=jnp.ones((N,), bool),
                     iters=jnp.zeros((N,), jnp.int32),
                     avg_deformation=jnp.ones((N,), X.dtype),
-                    max_deformation=jnp.ones((N,), X.dtype)))
+                    max_deformation=jnp.ones((N,), X.dtype),
+                    selfcol_overflow=jnp.zeros((N,), bool)))
             return loss_fn(recs)
 
         loss_grads = jax.jit(jax.value_and_grad(records_loss,

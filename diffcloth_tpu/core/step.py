@@ -51,8 +51,13 @@ from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev
 
 
 class SelfColConfig(NamedTuple):
-    """Static self-collision configuration for make_step."""
-    cand: jnp.ndarray      # (P,2) int32 candidate pairs (non-adjacent)
+    """Static self-collision configuration for make_step.
+
+    `allowed` is the (n,n) symmetric non-adjacency table; `window` is the
+    sweep-and-prune sorted-order window (see
+    selfcol.detect_self_collisions_sweep)."""
+    allowed: jnp.ndarray   # (n,n) bool — candidate pair admissibility
+    window: int
     cap_pairs: int
     max_layers: int
 
@@ -111,6 +116,7 @@ class StepAux(NamedTuple):
     iters: jnp.ndarray
     avg_deformation: jnp.ndarray
     max_deformation: jnp.ndarray
+    selfcol_overflow: jnp.ndarray   # () bool — capacity/window exceeded
 
 
 def _deformation(scene: SceneDev, x):
@@ -314,15 +320,16 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
 
         v_iter0 = (s_n - x_n) / h
         if flags.contact_enabled and prims.kind.shape[0] > 0:
-            contact = ct.detect_obstacle_contacts(prims, x_n, v_iter0, h)
+            contact = ct.detect_obstacle_contacts(prims, x_n, v_iter0, h,
+                                                  t=t)
         else:
             contact = ct.ContactSet(
                 mask=jnp.zeros((n,), bool), normal=jnp.zeros_like(x_n),
                 v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
         if use_self:
-            selfc = sc.detect_self_collisions(
-                self_cfg.cand, scene.radii, x_n, v_iter0, h,
-                self_cfg.cap_pairs)
+            selfc = sc.detect_self_collisions_sweep(
+                self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                self_cfg.window, self_cfg.cap_pairs)
             selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
         else:
             selfc = sc.empty_self_contacts(1, x_n.dtype)
@@ -411,7 +418,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             f_rec = btilde_fin - h2 * apply_AtA_all(params.k_pertype, v_new)
         avg_def, max_def = _deformation(scene, x_new)
         aux = StepAux(f=f_rec, r=out.r, converged=converged, iters=out.it,
-                      avg_deformation=avg_def, max_deformation=max_def)
+                      avg_deformation=avg_def, max_deformation=max_def,
+                      selfcol_overflow=selfc.overflow)
         return x_new, v_new, aux, contact, selfc
 
     # -- custom VJP ---------------------------------------------------------

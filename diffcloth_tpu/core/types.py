@@ -78,6 +78,8 @@ class StepRecord(NamedTuple):
     iters: jnp.ndarray           # () int32
     avg_deformation: jnp.ndarray  # ()
     max_deformation: jnp.ndarray  # () max per-triangle area ratio
+    selfcol_overflow: jnp.ndarray  # () bool — self-contact capacity/window
+    #                                exceeded this step (bump + recompile)
 
 
 class EpisodeRecords(NamedTuple):

@@ -86,6 +86,15 @@ class OptimizeHelper:
         if self.mask.f_ext:
             for i in range(3):
                 s.append(_Slot("windDir", "wind", (i,), -3.0, 3.0))
+        if self.mask.wind_perstep:
+            # per-step wind factor (reference packing OptimizeHelper.cpp:190,
+            # gradient Simulation.cpp:1722-1730).  The reference declares no
+            # bounds for this group (parameterFromRandSeed logs
+            # "dL_dwindFactor not handled", OptimizeHelper.cpp:351-353); the
+            # sinusoidal factor it replaces lives in [0, 1], so allow [-2, 2]
+            for t in range(int(self.base.wind_perstep.shape[0])):
+                s.append(_Slot("windFactorPerStep", "wind_perstep", (t,),
+                               -2.0, 2.0))
         if self.mask.x0:
             for p in range(self.sim.n):
                 for d in range(3):

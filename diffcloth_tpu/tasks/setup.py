@@ -60,7 +60,9 @@ def _prim_struct(entries, dtype) -> ct.PrimitiveSet:
         plane_upper_right=f(g("ur", (0, 0, 0), (3,))),
         rotates=np.asarray([bool(e.get("rotates", False)) for e in entries]),
         mu=f(g("mu", 0.0, ())),
-        enabled=np.ones((P,), bool))
+        enabled=np.ones((P,), bool),
+        kinematic=np.asarray([bool(e.get("kinematic", False))
+                              for e in entries]))
 
 
 def lower_leg_entries(center, axis, leg_length=5.0, foot_length=4.0,

@@ -242,3 +242,75 @@ def test_grad_spline_through_contact():
     ad = float(g[idx])
     assert np.isclose(fd, ad, rtol=0.15, atol=1e-10), (fd, ad)
     assert np.sign(fd) == np.sign(ad)
+
+
+def test_kinematic_primitive_stepping():
+    """A sphere moving with constant velocity must be tested at its
+    advanced pose center(t) = c0 + t*v (reference stepPrimitives,
+    Simulation.cpp:954-960; Primitive::step, Primitive.h:129-136), and the
+    cloth must ride with it via the v_out friction term."""
+    prims = sphere_prims((0.0, -2.0, 0.0), 0.8, 0.9)
+    vel = jnp.asarray(np.array([[0.5, 0.0, 0.0]]), jnp.float64)
+    prims = prims._replace(velocity=vel,
+                           kinematic=np.asarray([True]))
+
+    # pose advance: at t the sphere center has moved t*v
+    moved = ct.prims_at_time(prims, 2.0)
+    np.testing.assert_allclose(np.asarray(moved.center[0]),
+                               [1.0, -2.0, 0.0])
+    static = prims._replace(kinematic=np.asarray([False]))
+    np.testing.assert_allclose(
+        np.asarray(ct.prims_at_time(static, 2.0).center[0]),
+        [0.0, -2.0, 0.0])
+
+    # detection sees the advanced pose: a particle above the ORIGINAL
+    # center is in contact at t=0 but not after the sphere moved away
+    x = jnp.asarray(np.array([[0.0, -1.15, 0.0]]), jnp.float64)
+    v = jnp.zeros_like(x)
+    c0 = ct.detect_obstacle_contacts(prims, x, v, h=0.01, t=0.0)
+    c2 = ct.detect_obstacle_contacts(prims, x, v, h=0.01, t=4.0)
+    assert bool(c0.mask[0]) and not bool(c2.mask[0])
+
+    # full rollout: cloth dropped on the moving sphere is dragged along x
+    cfg = drop_scene(steps=30)
+    scene = gb.build_scene(cfg)
+    sim_kin = ClothSim(scene, dtype=jnp.float64, prims=prims,
+                       flags=SimFlags(wind_enabled=False))
+    sim_static = ClothSim(scene, dtype=jnp.float64, prims=static,
+                          flags=SimFlags(wind_enabled=False))
+    p = sim_kin.default_params()
+    xk = np.asarray(sim_kin.rollout(p).steps.x[-1])
+    xs = np.asarray(sim_static.rollout(p).steps.x[-1])
+    assert np.all(np.isfinite(xk)) and np.all(np.isfinite(xs))
+    # the advancing obstacle pose must change the contact response
+    assert np.max(np.abs(xk - xs)) > 1e-3
+
+
+def test_bowl_contact_geometry():
+    """Bowl = thin lower-hemisphere inner shell (Bowl::isInContact,
+    Primitive.cpp:360-379): inside-interior and upper-half points do NOT
+    collide; points within 0.005 of the lower shell do, with inward
+    normal."""
+    f = lambda a: jnp.asarray(np.asarray(a, np.float64)[None], jnp.float64)
+    prims = ct.PrimitiveSet(
+        kind=np.asarray([ct.P_BOWL], np.int32), center=f((0.0, 0.5, 0.0)),
+        velocity=f((0, 0, 0)), radius=jnp.asarray([0.5], jnp.float64),
+        length=jnp.asarray([0.0], jnp.float64),
+        axis_rot=jnp.asarray(np.eye(3)[None], jnp.float64),
+        plane_normal=f((0, 1, 0)), plane_upper_left=f((0, 0, 0)),
+        plane_upper_right=f((0, 0, 0)), rotates=np.asarray([False]),
+        mu=jnp.asarray([0.0], jnp.float64), enabled=np.asarray([True]))
+    pts = jnp.asarray(np.array([
+        [0.0, 0.001, 0.0],    # on the shell bottom (y = c_y - r + 1e-3)... 
+        [0.0, 0.3, 0.0],      # deep interior, lower half -> no contact
+        [0.0, 0.999, 0.0],    # near shell but UPPER half -> no contact
+        [0.0, 0.5 - 0.497, 0.0],  # within eps of the lower shell -> contact
+    ]), jnp.float64)
+    v = jnp.zeros_like(pts)
+    cs = ct.detect_obstacle_contacts(prims, pts, v, h=0.0)
+    mask = np.asarray(cs.mask)
+    assert bool(mask[3]), "lower-shell point must collide"
+    assert not bool(mask[1]), "deep interior must not collide"
+    assert not bool(mask[2]), "upper hemisphere must not collide"
+    # normal points inward (toward the center, i.e. +y at the bottom)
+    assert float(cs.normal[3, 1]) > 0.9

@@ -180,3 +180,45 @@ def test_grad_spline_control_points(setup):
     _, g = vg(p0)
     check(loss_of, p0, g, "spline", [(0, 1), (0, 4), (1, 7)], delta=1e-6,
           rtol=5e-3)
+
+
+def test_grad_wind_perstep_and_optimizer_slot():
+    """Per-step wind factor gradient (reference Simulation.cpp:1722-1730)
+    and its OptimizeHelper slot (the reference packs it at
+    OptimizeHelper.cpp:190 but never declares bounds — ours does)."""
+    from diffcloth_tpu.config import LossType
+    from diffcloth_tpu.optim.helper import GradMask, OptimizeHelper
+
+    sim = make_sim(wind=WindConfig.WIND_FACTOR_PER_STEP)
+    rng = np.random.RandomState(0)
+    p_gt = sim.default_params()._replace(
+        wind=jnp.array([0.3, 0.05, 0.2]),
+        wind_perstep=jnp.asarray(0.5 + 0.4 * rng.rand(sim.n_steps + 1)))
+    gt = sim.rollout(p_gt)
+    from diffcloth_tpu.config import LossType
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
+    lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg = sim.episode_value_and_grad(lf)
+    p0 = sim.default_params()._replace(wind=jnp.array([0.3, 0.05, 0.2]))
+
+    def loss_of(params):
+        recs = sim.simulate(params, sim.p_inv(params),
+                            sim.x_fixed_seq(params))
+        return float(lf(recs))
+
+    _, g = vg(p0)
+    # steps are 1..N so wind_perstep[0] is never read; check interior steps
+    check(loss_of, p0, g, "wind_perstep", [(1,), (3,), (6,)], delta=1e-6,
+          rtol=5e-3)
+
+    # the optimizer must expose one slot per step factor
+    helper = OptimizeHelper(sim, GradMask(wind_perstep=True), lf,
+                            param_base=p0, chunked=False)
+    assert helper.n_params == sim.n_steps + 1
+    x = helper.params_to_vec(p_gt)
+    round_trip = helper.vec_to_params(x)
+    np.testing.assert_allclose(np.asarray(round_trip.wind_perstep),
+                               np.asarray(p_gt.wind_perstep))
+    L, gvec = helper.loss_and_grad(helper.params_to_vec(p0))
+    np.testing.assert_allclose(gvec[1:7], np.asarray(g.wind_perstep)[1:7],
+                               rtol=1e-6)
