@@ -1,10 +1,11 @@
 """Headline benchmark: batched tshirt wind-scene rollouts on one TPU chip.
 
 Baseline (BASELINE.md): the reference runs the tshirt demo forward at
-164 ms/PD-step = 6.1 steps/s for a single rollout on CPU+OpenMP.  Here a
-batch of vmapped rollouts with perturbed wind runs the same scene
-(tshirt1000 mesh, 250 steps @ h=1/90); the metric is aggregate converged PD
-steps/s on one chip.
+164 ms/PD-step = 6.1 steps/s for a single rollout on CPU+OpenMP at eps=1e-8
+(f64), with self-collision detection enabled (OptimizationTaskSetup.cpp:166).
+Here a batch of vmapped rollouts with perturbed wind runs the same scene
+(tshirt1000 mesh, 250 steps @ h=1/90, self-collision detection enabled); the
+primary metric is aggregate PD steps/s on one chip.
 
 The episode is executed in chunks of CHUNK steps per device call (state
 carried on device between calls): identical math to one whole-episode scan,
@@ -12,32 +13,54 @@ but each XLA execution stays short, which keeps the remote-TPU transport
 happy and costs <1% in dispatch overhead.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+extra rows (each skipped gracefully on failure; set DIFFCLOTH_BENCH_FAST=1
+to skip them all):
+  backward_vg_steps_per_sec  — chunked episode value_and_grad, batch 64
+                               (baseline backward: 94 steps/s, BASELINE.md)
+  f64_cpu_eps1e8_steps_per_sec — OUR engine at the reference's exact
+                               tolerance/precision on the reference's
+                               hardware class (subprocess, CPU f64)
+  f32_vs_f64_traj_rmse       — per-vertex RMSE of the f32 TPU trajectory vs
+                               the f64 eps=1e-8 trajectory at step 125 & 250
+                               (the matched-convergence evidence)
+  model_tflops_per_sec, mfu_pct — matmul-only model FLOPs of the PD
+                               iteration; MFU counts the 3 bf16 MXU passes
+                               an f32 HIGHEST matmul costs on v5e
+                               (peak 197 TFLOP/s bf16)
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-BASELINE_STEPS_PER_SEC = 6.1  # reference forwardLog.txt Record 0
+BASELINE_STEPS_PER_SEC = 6.1      # reference forwardLog.txt Record 0
+BASELINE_BWD_STEPS_PER_SEC = 94.0  # reference backwardLog.txt Record 0
+V5E_BF16_PEAK = 197e12
 CHUNK = 25
 
 
-def main():
+def model_flops_per_iter(sim):
+    """Matmul FLOPs of one PD iteration on the dense-operator path:
+    apply_A (y = A x) + apply_At (A^T d) + C v (Sk matmul) + the P^{-1}
+    solve.  2*m*n*3 per (m,n)@(n,3) matmul; detection/projection
+    elementwise work not counted (standard matmul-MFU convention)."""
+    n = sim.n
+    d = sim.dense
+    rows = sum(int(A.shape[0]) for A in (d.A_s, d.A_b, d.A_a, d.A_sp))
+    per_matvec = lambda m: 2 * m * n * 3
+    return (2 * per_matvec(rows)        # A and A^T
+            + 2 * per_matvec(n)         # Sk apply + P^{-1} solve
+            )
+
+
+def forward_throughput(sim, base, p_inv, xfs, B):
     import jax
     import jax.numpy as jnp
-
-    import __graft_entry__ as entrymod
-
-    sim = entrymod._flagship_sim()
-    base = sim.default_params()._replace(
-        wind=jnp.array([0.04, 0.004, 0.04], jnp.float32),
-        wind_freq=jnp.asarray(10.0, jnp.float32),
-        wind_phase=jnp.asarray(0.5, jnp.float32))
-    p_inv = sim.p_inv(base)
-    xfs = sim.x_fixed_seq(base)
-    h = sim.h
 
     def chunk_rollout(wind, x, v, xf_chunk, idx_chunk):
         params = base._replace(wind=wind)
@@ -46,7 +69,8 @@ def main():
             x, v = carry
             xf, idx_f = inp
             x2, v2, aux = sim.step(x, v, params, xf, p_inv,
-                                   jnp.asarray(idx_f * h, x.dtype), idx_f)
+                                   jnp.asarray(idx_f * sim.h, x.dtype),
+                                   idx_f)
             return (x2, v2), (aux.converged, aux.iters)
 
         (x, v), (conv, iters) = jax.lax.scan(body, (x, v),
@@ -55,15 +79,12 @@ def main():
 
     batched_chunk = jax.jit(jax.vmap(chunk_rollout,
                                      in_axes=(0, 0, 0, None, None)))
-
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256  # throughput peak
     winds = jnp.asarray(
         np.random.RandomState(0).randn(B, 3) * 0.02 +
         np.array([0.04, 0.004, 0.04]), jnp.float32)
-
     idx_f = jnp.arange(1, sim.n_steps + 1, dtype=jnp.float32)
 
-    def episode(winds):
+    def episode():
         x = jnp.broadcast_to(base.x0, (B,) + base.x0.shape)
         v = jnp.broadcast_to(base.v0, (B,) + base.v0.shape)
         conv_total = 0
@@ -76,23 +97,119 @@ def main():
             iters_total += int(np.sum(np.asarray(iters)))
         return jax.block_until_ready(x), conv_total, iters_total
 
-    xN, conv, iters = episode(winds)      # compile
+    xN, conv, iters = episode()      # compile
     t0 = time.time()
-    xN, conv, iters = episode(winds)
+    xN, conv, iters = episode()
     elapsed = time.time() - t0
-
-    total_steps = B * sim.n_steps
-    conv_frac = conv / total_steps
     assert np.all(np.isfinite(np.asarray(xN))), "non-finite rollout"
-    steps_per_sec = total_steps / elapsed
+    total_steps = B * sim.n_steps
+    return (total_steps / elapsed, conv / total_steps, iters / total_steps,
+            iters / elapsed)
+
+
+def backward_throughput(sim, base, B=64):
+    """Batched chunked episode value_and_grad (loss vs a zero target): the
+    distributed-L-BFGS inner loop, measured end to end (forward + adjoint
+    reverse sweep), reported as episode-gradient PD steps/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffcloth_tpu import losses
+    from diffcloth_tpu.config import LossType
+
+    target = jnp.zeros((sim.n_steps + 1, sim.n, 3), jnp.float32)
+    info = losses.LossInfo(target_x=target)
+    loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg = sim.episode_value_and_grad_chunked(loss_fn, chunk=CHUNK,
+                                            batched=True)
+    winds = jnp.asarray(
+        np.random.RandomState(1).randn(B, 3) * 0.02 +
+        np.array([0.04, 0.004, 0.04]), jnp.float32)
+    params_b = jax.vmap(lambda w: base._replace(wind=w))(winds)
+
+    L, g = vg(params_b)                 # compile
+    jax.block_until_ready(L)
+    t0 = time.time()
+    L, g = vg(params_b)
+    jax.block_until_ready(L)
+    elapsed = time.time() - t0
+    assert np.all(np.isfinite(np.asarray(L)))
+    assert np.all(np.isfinite(np.asarray(g.wind)))
+    return B * sim.n_steps / elapsed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as entrymod
+
+    fast = os.environ.get("DIFFCLOTH_BENCH_FAST", "") == "1"
+    sim = entrymod._flagship_sim()
+    base = sim.default_params()._replace(
+        wind=jnp.array([0.04, 0.004, 0.04], jnp.float32),
+        wind_freq=jnp.asarray(10.0, jnp.float32),
+        wind_phase=jnp.asarray(0.5, jnp.float32))
+    p_inv = sim.p_inv(base)
+    xfs = sim.x_fixed_seq(base)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    steps_per_sec, conv_frac, mean_iters, iters_per_sec = \
+        forward_throughput(sim, base, p_inv, xfs, B)
+
+    extra = {}
+    # MFU from the measured iteration rate (iterations/s x FLOPs/iteration)
+    try:
+        fpi = model_flops_per_iter(sim)
+        model_fps = fpi * iters_per_sec
+        extra["model_tflops_per_sec"] = round(model_fps / 1e12, 2)
+        extra["mfu_pct"] = round(100.0 * model_fps * 3 / V5E_BF16_PEAK, 1)
+    except Exception as e:  # pragma: no cover
+        extra["mfu_error"] = repr(e)[:200]
+
+    if not fast:
+        # backward-pass benchmark
+        try:
+            extra["backward_vg_steps_per_sec"] = round(
+                backward_throughput(sim, base), 1)
+            extra["backward_vs_baseline"] = round(
+                extra["backward_vg_steps_per_sec"]
+                / BASELINE_BWD_STEPS_PER_SEC, 1)
+        except Exception as e:
+            extra["backward_error"] = repr(e)[:200]
+
+        # matched-convergence f64 CPU row (subprocess; CPU forced there)
+        try:
+            npz = "/tmp/bench_f64_traj.npz"
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "bench_f64_cpu.py"), npz],
+                capture_output=True, text=True, timeout=1200)
+            row = json.loads(out.stdout.strip().splitlines()[-1])
+            extra["f64_cpu_eps1e8_steps_per_sec"] = row["steps_per_sec"]
+            extra["f64_cpu_mean_iters"] = row["mean_iters"]
+            extra["f64_cpu_converged_frac"] = row["converged_frac"]
+
+            # f32 TPU single-rollout trajectory vs the f64 eps=1e-8 one
+            recs = sim.simulate(base, p_inv, xfs)
+            x32 = np.asarray(recs.steps.x, np.float64)
+            x64 = np.load(npz)["x"]
+            rmse = np.sqrt(np.mean((x32 - x64) ** 2, axis=(1, 2)))
+            extra["f32_vs_f64_traj_rmse_step125"] = float(
+                np.round(rmse[124], 6))
+            extra["f32_vs_f64_traj_rmse_step250"] = float(
+                np.round(rmse[-1], 6))
+        except Exception as e:
+            extra["f64_row_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "batched_pd_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
         "unit": "PD steps/s (tshirt1000, 250 steps @ 1/90, batch %d, "
-                "converged frac %.3f, mean iters %.0f)" % (
-                    B, conv_frac, iters / total_steps),
+                "self-collision on, converged frac %.3f, mean iters %.0f)"
+                % (B, conv_frac, mean_iters),
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
+        "extra": extra,
     }))
 
 

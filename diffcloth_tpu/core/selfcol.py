@@ -123,6 +123,89 @@ def detect_self_collisions(cand: jnp.ndarray, radii: jnp.ndarray,
                          cap_pairs)
 
 
+def detect_self_collisions_matrix(allowed_triu: jnp.ndarray,
+                                  radii: jnp.ndarray,
+                                  x: jnp.ndarray, v: jnp.ndarray, h: float,
+                                  k_partners: int,
+                                  cap_pairs: int) -> SelfContactSet:
+    """MXU-native detection: both swept samples as n x n distance matrices.
+
+    The reference's swept test keeps min distance over t in {0, tMid, h}
+    with tMid = -2 (dv.p0)/|dv|^2 (Simulation.cpp:207) — twice the true
+    minimizer, which makes |p0 + tMid dv| == |p0| EXACTLY, so the test
+    reduces to min(d0, d1) < r_i + r_j.  Both d0 and d1 = |(x+hv)_i -
+    (x+hv)_j| are pairwise-distance matrices: |a_i|^2 + |a_j|^2 - 2 a a^T,
+    one (n,3)@(3,n) MXU matmul each.  Extraction is per-row: K argmin
+    passes pull at most `k_partners` partners per particle (self-contact
+    degree is tiny), each pass a lane reduction — no sort, no O(n^2)
+    cumsum, no large scatter anywhere.  Overflow = a particle with more
+    than K in-reach partners OR more than cap_pairs total (both bump at
+    recompile).
+
+    `allowed_triu` is the upper-triangular non-adjacency mask
+    (~conn_table & triu(k=1)): each unordered pair tested once, adjacency
+    excluded as the reference does via pointpointConnectionTable
+    (Simulation.cpp:319).  O(n^2) memory — use the sweep variant beyond
+    ~10k vertices."""
+    n = x.shape[0]
+    BIG = jnp.asarray(jnp.inf, x.dtype)
+
+    def pdist2(a):
+        sq = jnp.sum(a * a, axis=-1)
+        cross = jnp.matmul(a, a.T, precision=jax.lax.Precision.HIGHEST)
+        return sq[:, None] + sq[None, :] - 2.0 * cross
+
+    d0 = pdist2(x)
+    d1 = pdist2(x + h * v)
+    reach = radii.astype(x.dtype)[:, None] + radii.astype(x.dtype)[None, :]
+    hit = (jnp.minimum(d0, d1) < reach * reach) & allowed_triu
+    dm = jnp.where(hit, jnp.minimum(d0, d1), BIG)
+
+    # rows with any hit are RARE: compact them first so the K extraction
+    # passes traverse (R, n) instead of (n, n) — the full matrix is touched
+    # exactly once after this point
+    rows = jnp.arange(n, dtype=jnp.int32)
+    rowhit = jnp.any(hit, axis=1)
+    R = min(cap_pairs, n)          # each hit row yields >= 1 pair
+    rpos = jnp.cumsum(rowhit.astype(jnp.int32)) - 1
+    rtgt = jnp.where(rowhit & (rpos < R), rpos, R)
+    row_idx = jnp.zeros((R,), jnp.int32).at[rtgt].set(rows, mode="drop")
+    row_valid = jnp.zeros((R,), bool).at[rtgt].set(True, mode="drop")
+    row_overflow = jnp.sum(rowhit) > R
+    dmr = dm[row_idx]              # (R, n)
+
+    rowsR = jnp.arange(R, dtype=jnp.int32)
+    parts_j, parts_ok = [], []
+    for _ in range(k_partners):
+        jmin = jnp.argmin(dmr, axis=1).astype(jnp.int32)
+        val = jnp.take_along_axis(dmr, jmin[:, None], axis=1)[:, 0]
+        parts_j.append(jmin)
+        parts_ok.append(jnp.isfinite(val) & row_valid)
+        dmr = dmr.at[rowsR, jmin].set(BIG)
+    row_overflow = row_overflow | jnp.any(
+        jnp.isfinite(jnp.min(dmr, axis=1)) & row_valid)
+
+    i = jnp.tile(row_idx, k_partners)
+    j = jnp.concatenate(parts_j)
+    valid = jnp.concatenate(parts_ok)
+
+    # compact R*k entries to cap_pairs (tiny compared to the pair space)
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(valid & (pos < cap_pairs), pos, cap_pairs)
+    p0 = x[i] - x[j]
+    nrm_all = p0 / jnp.maximum(
+        jnp.linalg.norm(p0, axis=-1, keepdims=True), 1e-12)
+    pi = jnp.zeros((cap_pairs,), jnp.int32).at[tgt].set(i, mode="drop")
+    pj = jnp.zeros((cap_pairs,), jnp.int32).at[tgt].set(j, mode="drop")
+    nrm = jnp.zeros((cap_pairs, 3), x.dtype).at[tgt].set(nrm_all,
+                                                         mode="drop")
+    mask = jnp.zeros((cap_pairs,), bool).at[tgt].set(True, mode="drop")
+    overflow = (jnp.sum(valid) > cap_pairs) | row_overflow
+    return SelfContactSet(
+        pair_i=pi, pair_j=pj, normal=nrm, mask=mask,
+        layer=jnp.full((cap_pairs,), -1, jnp.int32), overflow=overflow)
+
+
 def detect_self_collisions_sweep(allowed: jnp.ndarray, radii: jnp.ndarray,
                                  x: jnp.ndarray, v: jnp.ndarray, h: float,
                                  window: int,

@@ -100,6 +100,7 @@ class ClothSim:
                  max_forward_iters: Optional[int] = None,
                  solve_fn=None, self_cap_pairs: Optional[int] = None,
                  self_max_layers: int = 16, self_window: int = 48,
+                 self_method: Optional[str] = None, self_k_partners: int = 6,
                  dense_ops: Optional[bool] = None,
                  sparse_ops: Optional[bool] = None):
         cfg = scene.cfg
@@ -167,14 +168,26 @@ class ClothSim:
                 and scene.n > 1):
             # the reference enables self-collision for EVERY demo, incl.
             # obstacle-free ones (setWindAncCollision(_, _, true) in all
-            # branches of OptimizationTaskSetup.cpp:154-224); broad phase =
-            # sweep-and-prune along the longest AABB axis
-            # (selfcol.detect_self_collisions_sweep)
+            # branches of OptimizationTaskSetup.cpp:154-224).  Default
+            # detection is the MXU pairwise-distance method
+            # (selfcol.detect_self_collisions_matrix); the sort-based sweep
+            # takes over past ~10k vertices where the n^2 mask no longer
+            # pays for itself.
+            if self_method is None:
+                self_method = "matrix" if scene.n <= 10000 else "sweep"
             allowed = ~scene.conn_table & ~np.eye(scene.n, dtype=bool)
+            if self_method in ("matrix", "pallas"):
+                allowed &= np.triu(np.ones_like(allowed), 1)
+            if self_method == "pallas":
+                from diffcloth_tpu.core import selfcol_pallas as scp
+                allowed_dev = jnp.asarray(scp.pack_allowed(allowed))
+            else:
+                allowed_dev = jnp.asarray(allowed)
             cap = self_cap_pairs or max(128, scene.n // 2)
             window = min(self_window, scene.n - 1)
             self_cfg = step_mod.SelfColConfig(
-                allowed=jnp.asarray(allowed), window=window,
+                allowed=allowed_dev, method=self_method,
+                window=window, k_partners=self_k_partners,
                 cap_pairs=cap, max_layers=self_max_layers)
         self.self_cfg = self_cfg
 
@@ -426,7 +439,8 @@ class ClothSim:
         iters = jnp.concatenate([p[1] for p in parts])
         return xN, vN, conv, iters
 
-    def episode_value_and_grad_chunked(self, loss_fn, chunk: int = 50):
+    def episode_value_and_grad_chunked(self, loss_fn, chunk: int = 50,
+                                       batched: bool = False):
         """Episode loss + gradient with BOTH passes split into bounded
         device calls of `chunk` steps (state carried on device, adjoint
         cotangents carried between chunk VJPs host-side).
@@ -439,6 +453,12 @@ class ClothSim:
         would not fit HBM.  The analog of the reference's per-step
         runBackwardTask loop (Simulation.cpp:3853-3961), which is also
         host-driven step by step.
+
+        `batched=True` vmaps every device call over a leading batch axis of
+        the params pytree (a population of rollouts on one chip — the
+        distributed-L-BFGS inner loop).  The prefactorization is shared, so
+        k_pertype/density must be identical across the batch; everything
+        else (wind, splines, x0, ...) may vary per rollout.
         """
         if self.n_stages > 1:
             # multi-stage horizons in the reference configs are short; the
@@ -462,8 +482,6 @@ class ClothSim:
             (xN, vN), (Xc, Vc) = jax.lax.scan(body, (x, v), (xfs_c, idxs_c))
             return xN, vN, Xc, Vc
 
-        fwd_jit = jax.jit(chunk_roll)
-
         def vjp_chunk(x, v, params, p_inv, xfs_c, idxs_c, cot):
             _, vjp = jax.vjp(
                 lambda x_, v_, p_, xf_: chunk_roll(x_, v_, p_, p_inv,
@@ -471,7 +489,14 @@ class ClothSim:
                 x, v, params, xfs_c)
             return vjp(cot)
 
-        bwd_jit = jax.jit(vjp_chunk)
+        if batched:
+            fwd_jit = jax.jit(jax.vmap(
+                chunk_roll, in_axes=(0, 0, 0, None, 0, None)))
+            bwd_jit = jax.jit(jax.vmap(
+                vjp_chunk, in_axes=(0, 0, 0, None, 0, None, 0)))
+        else:
+            fwd_jit = jax.jit(chunk_roll)
+            bwd_jit = jax.jit(vjp_chunk)
 
         def records_loss(X, V, xfs, params):
             recs = EpisodeRecords(
@@ -486,12 +511,21 @@ class ClothSim:
                     selfcol_overflow=jnp.zeros((N,), bool)))
             return loss_fn(recs)
 
-        loss_grads = jax.jit(jax.value_and_grad(records_loss,
-                                                argnums=(0, 1, 3)))
+        vgl = jax.value_and_grad(records_loss, argnums=(0, 1, 3))
+        loss_grads = jax.jit(jax.vmap(vgl) if batched else vgl)
+        t_ax = 1 if batched else 0   # time axis of stacked arrays
+
+        def tsl(a, sl):
+            return a[:, sl] if batched else a[sl]
 
         def value_and_grad(params):
-            p_inv = self._p_inv_fn(params.k_pertype, params.density)
-            xfs, pull_xfs = jax.vjp(self.x_fixed_seq, params)
+            if batched:
+                p0 = jax.tree.map(lambda a: a[0], params)
+                p_inv = self._p_inv_fn(p0.k_pertype, p0.density)
+                xfs, pull_xfs = jax.vjp(jax.vmap(self.x_fixed_seq), params)
+            else:
+                p_inv = self._p_inv_fn(params.k_pertype, params.density)
+                xfs, pull_xfs = jax.vjp(self.x_fixed_seq, params)
             idx_f = jnp.arange(1, N + 1, dtype=self.dtype)
 
             # forward, chunked
@@ -501,13 +535,13 @@ class ClothSim:
                 sl = slice(c * chunk, (c + 1) * chunk)
                 xs_in.append(x)
                 vs_in.append(v)
-                x, v, Xc, Vc = fwd_jit(x, v, params, p_inv, xfs[sl],
+                x, v, Xc, Vc = fwd_jit(x, v, params, p_inv, tsl(xfs, sl),
                                        idx_f[sl])
                 jax.block_until_ready(x)
                 Xs.append(Xc)
                 Vs.append(Vc)
-            X = jnp.concatenate(Xs)
-            V = jnp.concatenate(Vs)
+            X = jnp.concatenate(Xs, axis=t_ax)
+            V = jnp.concatenate(Vs, axis=t_ax)
 
             # per-frame loss cotangents
             L, (dLdX, dLdV, gp_loss) = loss_grads(X, V, xfs, params)
@@ -520,12 +554,14 @@ class ClothSim:
             for c in reversed(range(n_chunks)):
                 sl = slice(c * chunk, (c + 1) * chunk)
                 gx, gv, gp, gxf = bwd_jit(
-                    xs_in[c], vs_in[c], params, p_inv, xfs[sl], idx_f[sl],
-                    (cot_x, cot_v, dLdX[sl], dLdV[sl]))
+                    xs_in[c], vs_in[c], params, p_inv, tsl(xfs, sl),
+                    idx_f[sl],
+                    (cot_x, cot_v, tsl(dLdX, sl), tsl(dLdV, sl)))
                 jax.block_until_ready(gx)
                 cot_x, cot_v = gx, gv
                 g_params = jax.tree.map(jnp.add, g_params, gp)
-                g_xfs = g_xfs.at[sl].add(gxf)
+                g_xfs = (g_xfs.at[:, sl].add(gxf) if batched
+                         else g_xfs.at[sl].add(gxf))
 
             # chain x_fixed trajectory -> spline params; initial-state grads
             g_params = jax.tree.map(jnp.add, g_params, pull_xfs(g_xfs)[0])

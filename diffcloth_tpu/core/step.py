@@ -53,11 +53,16 @@ from diffcloth_tpu.core.types import SceneDev, SimParams, StageDev
 class SelfColConfig(NamedTuple):
     """Static self-collision configuration for make_step.
 
-    `allowed` is the (n,n) symmetric non-adjacency table; `window` is the
-    sweep-and-prune sorted-order window (see
-    selfcol.detect_self_collisions_sweep)."""
+    method 'matrix' (default, MXU pairwise-distance detection — see
+    selfcol.detect_self_collisions_matrix): `allowed` is the
+    upper-triangular non-adjacency table and `k_partners` bounds per-row
+    extraction.  method 'sweep' (sort-based, O(n*window) memory for very
+    large meshes): `allowed` is the symmetric table and `window` the
+    sorted-order window."""
     allowed: jnp.ndarray   # (n,n) bool — candidate pair admissibility
+    method: str
     window: int
+    k_partners: int
     cap_pairs: int
     max_layers: int
 
@@ -327,9 +332,19 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 mask=jnp.zeros((n,), bool), normal=jnp.zeros_like(x_n),
                 v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
         if use_self:
-            selfc = sc.detect_self_collisions_sweep(
-                self_cfg.allowed, scene.radii, x_n, v_iter0, h,
-                self_cfg.window, self_cfg.cap_pairs)
+            if self_cfg.method == "pallas":
+                from diffcloth_tpu.core import selfcol_pallas as scp
+                selfc = scp.detect_self_collisions_pallas(
+                    self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                    self_cfg.k_partners, self_cfg.cap_pairs)
+            elif self_cfg.method == "matrix":
+                selfc = sc.detect_self_collisions_matrix(
+                    self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                    self_cfg.k_partners, self_cfg.cap_pairs)
+            else:
+                selfc = sc.detect_self_collisions_sweep(
+                    self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                    self_cfg.window, self_cfg.cap_pairs)
             selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
         else:
             selfc = sc.empty_self_contacts(1, x_n.dtype)

@@ -10,7 +10,7 @@ dL_dvinit (Simulation.cpp:3948).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -153,7 +153,7 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
 
 def _generate_groundtruth(sim: ClothSim, params: SimParams):
     recs = sim.rollout(params)
-    return jax.lax.stop_gradient(recs.full_x())
+    return np.asarray(recs.full_x())
 
 
 def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,

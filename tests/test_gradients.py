@@ -222,3 +222,63 @@ def test_grad_wind_perstep_and_optimizer_slot():
     L, gvec = helper.loss_and_grad(helper.params_to_vec(p0))
     np.testing.assert_allclose(gvec[1:7], np.asarray(g.wind_perstep)[1:7],
                                rtol=1e-6)
+
+
+def test_gmres_fallback_gradient_is_fd_consistent():
+    """Force the adjoint fixed point to fail (1 iteration, unreachable
+    tolerance) so the GMRES fallback produces EVERY step's adjoint, then
+    check the episode gradient against the healthy path and FD.  This is
+    the 'fallback fixes, not masks' guarantee (reference analog: the
+    direct SparseLU fallback, Simulation.cpp:1590-1594)."""
+    from diffcloth_tpu.config import LossType
+
+    fab = FabricConfig(cloth_dim_x=1.5, cloth_dim_y=1.5,
+                       k_stiff_stretching=300.0, k_stiff_bending=0.08,
+                       grid_num_x=4, grid_num_y=4, density=0.3)
+
+    def build(flags):
+        cfg = SceneConfig(
+            fabric=fab,
+            attachment_points=AttachmentConfig.LEFT_RIGHT_CORNERS_2,
+            trajectory=TrajectoryConfig.NO_TRAJECTORY,
+            primitive_config=PrimitiveConfig.NONE,
+            wind_config=WindConfig.WIND_SIN, time_step=1.0 / 60.0,
+            step_num=6, forward_convergence_thresh=1e-11,
+            backward_convergence_thresh=1e-8, name="fallback")
+        return ClothSim(gb.build_scene(cfg), dtype=jnp.float64, flags=flags)
+
+    sim_ok = build(SimFlags(wind_enabled=True, gradient_clipping=False))
+    # eps_backward unreachable in 1 iteration -> back_ok False every step
+    sim_fb = build(SimFlags(wind_enabled=True, gradient_clipping=False,
+                            max_backward_iters=1))
+    sim_fb.eps_backward = 1e-16
+    sim_fb2 = ClothSim(sim_fb.scene_host, dtype=jnp.float64,
+                       flags=SimFlags(wind_enabled=True,
+                                      gradient_clipping=False,
+                                      max_backward_iters=1),
+                       eps_backward=1e-16)
+
+    p_gt = sim_ok.default_params()._replace(wind=jnp.array([0.4, 0.1, 0.3]))
+    gt = sim_ok.rollout(p_gt)
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
+    lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    p0 = sim_ok.default_params()._replace(wind=jnp.array([0.25, 0.05, 0.2]))
+
+    L_ok, g_ok = sim_ok.episode_value_and_grad(lf)(p0)
+    L_fb, g_fb = sim_fb2.episode_value_and_grad(lf)(p0)
+    np.testing.assert_allclose(float(L_fb), float(L_ok), rtol=1e-10)
+    # gradient through the all-GMRES adjoint matches the healthy adjoint
+    np.testing.assert_allclose(np.asarray(g_fb.wind), np.asarray(g_ok.wind),
+                               rtol=1e-4)
+
+    def loss_of(params):
+        recs = sim_fb2.simulate(params, sim_fb2.p_inv(params),
+                                sim_fb2.x_fixed_seq(params))
+        return float(lf(recs))
+
+    d = 1e-6
+    for i in range(3):
+        fd = (loss_of(p0._replace(wind=p0.wind.at[i].add(d)))
+              - loss_of(p0._replace(wind=p0.wind.at[i].add(-d)))) / (2 * d)
+        np.testing.assert_allclose(float(g_fb.wind[i]), fd, rtol=2e-3,
+                                   atol=1e-10)

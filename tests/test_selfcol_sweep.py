@@ -104,3 +104,61 @@ def test_sweep_inside_jit_vmap():
     counts, ovf = detect(xs, vs)
     assert counts.shape == (3,)
     assert not bool(jnp.any(ovf))
+
+
+def test_matrix_matches_allpairs_oracle():
+    """The MXU pairwise-distance detector must produce the identical pair
+    set as the all-pairs oracle (f64: the matmul distance trick is exact to
+    rounding), with k-partner overflow flagged when a row exceeds K."""
+    h = 0.02
+    for seed in range(4):
+        x, v, radii, conn = random_config(seed)
+        n = x.shape[0]
+        cand = jnp.asarray(sc.build_candidate_pairs(conn), jnp.int32)
+        cs_ref = sc.detect_self_collisions(cand, radii, x, v, h,
+                                           cap_pairs=512)
+        allowed = jnp.asarray((~conn & ~np.eye(n, dtype=bool))
+                              & np.triu(np.ones((n, n), bool), 1))
+        cs_m = sc.detect_self_collisions_matrix(allowed, radii, x, v, h,
+                                                k_partners=8, cap_pairs=512)
+        assert pairset(cs_ref) == pairset(cs_m)
+        assert not bool(cs_m.overflow)
+
+    # k_partners too small for a dense cluster -> overflow flag
+    x = jnp.zeros((8, 3))
+    allowed = jnp.asarray(np.triu(np.ones((8, 8), bool), 1))
+    cs = sc.detect_self_collisions_matrix(allowed, jnp.full((8,), 0.2), x,
+                                          jnp.zeros_like(x), h,
+                                          k_partners=2, cap_pairs=64)
+    assert bool(cs.overflow)
+
+
+def test_pallas_kernel_matches_matrix_interpret():
+    """The Pallas detection kernel (interpret mode on CPU) must produce the
+    identical contact set as the XLA matrix detector, including the
+    overflow signal semantics."""
+    from diffcloth_tpu.core import selfcol_pallas as scp
+    h = 0.02
+    for seed in range(3):
+        x, v, radii, conn = random_config(seed)
+        n = x.shape[0]
+        x = jnp.asarray(np.asarray(x, np.float32))
+        v = jnp.asarray(np.asarray(v, np.float32))
+        radii = jnp.asarray(np.asarray(radii, np.float32))
+        allowed_triu = ((~conn & ~np.eye(n, dtype=bool))
+                        & np.triu(np.ones((n, n), bool), 1))
+        cs_m = sc.detect_self_collisions_matrix(
+            jnp.asarray(allowed_triu), radii, x, v, h, 8, 512)
+        cs_p = scp.detect_self_collisions_pallas(
+            jnp.asarray(scp.pack_allowed(allowed_triu)), radii, x, v, h,
+            8, 512, interpret=True)
+        assert pairset(cs_m) == pairset(cs_p)
+        assert bool(cs_m.overflow) == bool(cs_p.overflow)
+
+    # k overflow propagates
+    x = jnp.zeros((8, 3), jnp.float32)
+    allowed = np.triu(np.ones((8, 8), bool), 1)
+    cs = scp.detect_self_collisions_pallas(
+        jnp.asarray(scp.pack_allowed(allowed)), jnp.full((8,), 0.2),
+        x, jnp.zeros_like(x), 0.02, 2, 64, interpret=True)
+    assert bool(cs.overflow)

@@ -158,3 +158,33 @@ def test_gmres_cycle_solves():
     b = jnp.asarray(rng.randn(n, 3))
     x = _gmres_cycle(lambda u: A @ u, b, jnp.zeros_like(b), m=16)
     np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), atol=1e-8)
+
+
+def test_batched_chunked_value_and_grad_matches_per_sample():
+    """episode_value_and_grad_chunked(batched=True) — the one-chip
+    population gradient used by the backward benchmark and DP training —
+    must agree with the per-sample chunked path exactly."""
+    import sys
+    from diffcloth_tpu.config import LossType
+    scene = make_scene()
+    flags = SimFlags(wind_enabled=True, gradient_clipping=False)
+    sim = ClothSim(scene, dtype=jnp.float64, flags=flags)
+    base = sim.default_params()._replace(wind=jnp.array([0.3, 0.1, 0.2]))
+    gt = sim.rollout(base._replace(wind=jnp.array([0.4, 0.15, 0.25])))
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
+    lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg1 = sim.episode_value_and_grad_chunked(lf, chunk=4)
+    vgB = sim.episode_value_and_grad_chunked(lf, chunk=4, batched=True)
+    winds = jnp.asarray(np.random.RandomState(0).randn(3, 3) * 0.1
+                        + np.array([0.3, 0.1, 0.2]))
+    params_b = jax.vmap(lambda w: base._replace(wind=w))(winds)
+    LB, gB = vgB(params_b)
+    for b in range(3):
+        pb = jax.tree.map(lambda a: a[b], params_b)
+        L, g = vg1(pb)
+        np.testing.assert_allclose(float(L), float(LB[b]), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g.wind),
+                                   np.asarray(gB.wind[b]), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(g.spline),
+                                   np.asarray(gB.spline[b]), rtol=1e-9,
+                                   atol=1e-14)
