@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--tau", type=float, default=0.0,
                     help="softmax temperature for the keypoint loss "
                          "(sock); 0 = reference hard max")
+    ap.add_argument("--tau-ladder", action="store_true",
+                    help="graduated smoothing: anneal the keypoint tau "
+                         "over rungs (2.0, 0.5, 0.1, 0), warm-starting "
+                         "each from the previous optimum")
     ap.add_argument("--exp", default=None, help="experiment name")
     ap.add_argument("--gif", action="store_true",
                     help="with --mode visualize: write episode.gif")
@@ -88,7 +92,16 @@ def main():
         print("exported episode to", out_dir)
         return
 
-    from diffcloth_tpu.optim.solver import solve_demo
+    from diffcloth_tpu.optim.solver import solve_demo, solve_demo_tau_ladder
+    if args.tau_ladder:
+        res = solve_demo_tau_ladder(args.demo, seed=args.seed,
+                                    dtype=dtype, export_dir=out_dir,
+                                    n_restarts=args.restarts)
+        r = res.result
+        print(f"demo={args.demo} (tau ladder) evals={r.n_evals} "
+              f"final hard-max loss {r.loss:.6f} ({res.wallclock_s:.0f}s)")
+        print("exported to", out_dir)
+        return
     task_kwargs = {"keypoint_tau": args.tau} if args.tau > 0 else {}
     res = solve_demo(args.demo, seed=args.seed, maxiter=args.maxiter,
                      dtype=dtype, export_dir=out_dir,

@@ -47,7 +47,7 @@ def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from diffcloth_tpu import losses
@@ -88,7 +88,7 @@ def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
         fn = jax.jit(shard_map(
             jax.vmap(rollout_fn(sim)), mesh=mesh,
             in_specs=(P("dp"), P("dp"), P("dp")),
-            out_specs=(P("dp"), P("dp")), check_rep=False))
+            out_specs=(P("dp"), P("dp")), check_vma=False))
         jax.block_until_ready(fn(winds, x0, v0))  # compile
         t0 = time.time()
         jax.block_until_ready(fn(winds, x0, v0))
@@ -142,7 +142,7 @@ def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
         fn = jax.jit(shard_map(
             train_step, mesh=mesh,
             in_specs=(P("dp"), P("dp"), P("dp"), P("tp")),
-            out_specs=(P(), P()), check_rep=False))
+            out_specs=(P(), P()), check_vma=False))
         L, g = fn(winds, x0, v0, p_inv)
         jax.block_until_ready(L)   # compile
         assert np.isfinite(float(L))

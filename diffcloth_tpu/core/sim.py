@@ -473,30 +473,44 @@ class ClothSim:
             chunk = divisors[0]
         n_chunks = N // chunk
 
-        def chunk_roll(x, v, params, p_inv, xfs_c, idxs_c):
-            def body(c, inp):
-                x, v = c
-                xf, i = inp
-                x2, v2, aux = self.step(x, v, params, xf, p_inv, i * h, i)
-                return (x2, v2), (x2, v2)
-            (xN, vN), (Xc, Vc) = jax.lax.scan(body, (x, v), (xfs_c, idxs_c))
-            return xN, vN, Xc, Vc
-
-        def vjp_chunk(x, v, params, p_inv, xfs_c, idxs_c, cot):
-            _, vjp = jax.vjp(
-                lambda x_, v_, p_, xf_: chunk_roll(x_, v_, p_, p_inv,
-                                                   xf_, idxs_c),
-                x, v, params, xfs_c)
-            return vjp(cot)
-
-        if batched:
-            fwd_jit = jax.jit(jax.vmap(
-                chunk_roll, in_axes=(0, 0, 0, None, 0, None)))
-            bwd_jit = jax.jit(jax.vmap(
-                vjp_chunk, in_axes=(0, 0, 0, None, 0, None, 0)))
+        # the chunk executables are loss-independent; cache them on the sim
+        # so swapping the loss (e.g. a keypoint-softmax tau ladder) reuses
+        # the expensive compiled scan + VJP and only recompiles the cheap
+        # loss-over-records gradient below
+        cache = getattr(self, "_chunk_exec_cache", None)
+        if cache is None:
+            cache = self._chunk_exec_cache = {}
+        key = (chunk, batched)
+        if key in cache:
+            fwd_jit, bwd_jit = cache[key]
         else:
-            fwd_jit = jax.jit(chunk_roll)
-            bwd_jit = jax.jit(vjp_chunk)
+            def chunk_roll(x, v, params, p_inv, xfs_c, idxs_c):
+                def body(c, inp):
+                    x, v = c
+                    xf, i = inp
+                    x2, v2, aux = self.step(x, v, params, xf, p_inv,
+                                            i * h, i)
+                    return (x2, v2), (x2, v2)
+                (xN, vN), (Xc, Vc) = jax.lax.scan(body, (x, v),
+                                                  (xfs_c, idxs_c))
+                return xN, vN, Xc, Vc
+
+            def vjp_chunk(x, v, params, p_inv, xfs_c, idxs_c, cot):
+                _, vjp = jax.vjp(
+                    lambda x_, v_, p_, xf_: chunk_roll(x_, v_, p_, p_inv,
+                                                       xf_, idxs_c),
+                    x, v, params, xfs_c)
+                return vjp(cot)
+
+            if batched:
+                fwd_jit = jax.jit(jax.vmap(
+                    chunk_roll, in_axes=(0, 0, 0, None, 0, None)))
+                bwd_jit = jax.jit(jax.vmap(
+                    vjp_chunk, in_axes=(0, 0, 0, None, 0, None, 0)))
+            else:
+                fwd_jit = jax.jit(chunk_roll)
+                bwd_jit = jax.jit(vjp_chunk)
+            cache[key] = (fwd_jit, bwd_jit)
 
         def records_loss(X, V, xfs, params):
             recs = EpisodeRecords(

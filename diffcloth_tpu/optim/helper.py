@@ -63,11 +63,12 @@ class OptimizeHelper:
             sim.default_params()
         self._slots: List[_Slot] = []
         self._build_slots()
-        # chunked episode adjoint for long horizons: one fused
-        # forward+backward executable over 300+ contact steps exceeds
-        # remote-TPU execution limits (see episode_value_and_grad_chunked)
+        # chunked episode adjoint for long horizons and large meshes: one
+        # fused forward+backward executable over 300+ contact steps (or a
+        # 3k+-vertex mesh) exceeds remote-TPU execution limits
+        # (see episode_value_and_grad_chunked)
         if chunked is None:
-            chunked = sim.n_steps > 250
+            chunked = sim.n_steps > 250 or sim.n > 2000
         self._vg = (sim.episode_value_and_grad_chunked(loss_fn, chunk=chunk)
                     if chunked else sim.episode_value_and_grad(loss_fn))
         self.eval_count = 0

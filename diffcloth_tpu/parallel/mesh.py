@@ -76,7 +76,7 @@ def batched_value_and_grad(sim, loss_fn, mesh: Mesh,
     batch — the distributed L-BFGS gradient (SURVEY §2.7); otherwise
     per-sample gradients are returned sharded.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_sample(params, p_inv):
         recs = sim.simulate(params, p_inv, sim.x_fixed_seq(params))
@@ -95,5 +95,5 @@ def batched_value_and_grad(sim, loss_fn, mesh: Mesh,
         local_block, mesh=mesh,
         in_specs=(P("dp"), P()),
         out_specs=(P("dp"), P() if reduce_grads else P("dp")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
