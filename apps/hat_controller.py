@@ -114,8 +114,18 @@ def main():
 
     # ------------------------------------------------------------- rollout
     V_MIN, V_MAX = -0.1, 0.1   # action-delta clamp (common.py:63)
+    CHUNK = 50                 # steps per device call (see below)
 
-    def rollout(ws, x_init, a_init):
+    def chunk_roll(ws, x, v, a, idxs_c):
+        """`CHUNK` closed-loop steps (controller + simulator) in one scan.
+
+        The whole 400-step rollout+gradient in ONE fused executable is
+        exactly the long-execution shape that crashes remote-TPU workers
+        (round-2 training needed an out-of-tree retry loop to reach epoch
+        32); the episode is therefore split into short chunks with state
+        carried on device and the adjoint chained host-side — the same
+        scheme as ClothSim.episode_value_and_grad_chunked, with the policy
+        parameters as an extra differentiated input of every chunk."""
         def body(carry, idx_f):
             x, v, a = carry
             s = featurize(x, v)
@@ -124,12 +134,20 @@ def main():
             a = a + delta.reshape(-1, 3)
             x2, v2, aux = sim.step(x, v, params_sim, a, p_inv,
                                    idx_f * sim.h, idx_f)
-            return (x2, v2, a), (x2[attach_idx], x2)
+            return (x2, v2, a), x2[attach_idx]
 
-        idx_f = jnp.arange(1, n_steps + 1, dtype=dtype)
-        (xN, vN, aN), (clip_traj, _) = jax.lax.scan(
-            body, (x_init, jnp.zeros_like(x_init), a_init), idx_f)
-        return xN, vN, clip_traj
+        (xN, vN, aN), clip_traj = jax.lax.scan(body, (x, v, a), idxs_c)
+        return xN, vN, aN, clip_traj
+
+    fwd_jit = jax.jit(jax.vmap(chunk_roll, in_axes=(None, 0, 0, 0, None)))
+
+    def vjp_chunk(ws, x, v, a, idxs_c, cot):
+        _, vjp = jax.vjp(
+            lambda w_, x_, v_, a_: chunk_roll(w_, x_, v_, a_, idxs_c),
+            ws, x, v, a)
+        return vjp(cot)
+
+    bwd_jit = jax.jit(jax.vmap(vjp_chunk, in_axes=(None, 0, 0, 0, None, 0)))
 
     # composite loss (hatController.py:54-76): stretch + direction +
     # smooth-L1 target
@@ -138,8 +156,9 @@ def main():
         ad = jnp.abs(d)
         return jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
 
-    def episode_loss(ws, x_init, a_init):
-        xN, vN, clip_traj = rollout(ws, x_init, a_init)
+    def traj_loss(clip_traj, xN):
+        """Loss over the stacked clip trajectory + final state (the only
+        record slices the composite loss reads)."""
         clip_dist = jnp.linalg.norm(clip_traj[:, 1] - clip_traj[:, 0],
                                     axis=-1)
         stretch = jnp.sum(
@@ -152,7 +171,47 @@ def main():
             axis=-1)
         direction = jnp.sum((0.5 - jnp.clip(cos, None, 0.5)) * 3.0)
         target_l = smooth_l1(xN.reshape(-1), target.reshape(-1))
-        return stretch + direction + target_l, target_l
+        return stretch + direction + target_l
+
+    loss_cots = jax.jit(jax.value_and_grad(
+        lambda clip_traj, xN: jnp.mean(
+            jax.vmap(traj_loss)(clip_traj, xN)), argnums=(0, 1)))
+
+    # largest chunk <= CHUNK dividing the horizon (one compiled shape/pass)
+    chunk = next(c for c in range(min(CHUNK, n_steps), 0, -1)
+                 if n_steps % c == 0)
+    n_chunks = n_steps // chunk
+
+    def loss_and_grad(ws, xs, aas):
+        """Mean episode loss over the pose batch + dL/dws, all passes in
+        bounded CHUNK-step device calls."""
+        idx_f = jnp.arange(1, n_steps + 1, dtype=dtype)
+        x, v, a = xs, jnp.zeros_like(xs), aas
+        ins, clips = [], []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            ins.append((x, v, a))
+            x, v, a, clip_c = fwd_jit(ws, x, v, a, idx_f[sl])
+            jax.block_until_ready(x)
+            clips.append(clip_c)
+        clip_traj = jnp.concatenate(clips, axis=1)     # (B, N, F, 3)
+
+        L, (dclip, dxN) = loss_cots(clip_traj, x)
+
+        cot_x, cot_v, cot_a = dxN, jnp.zeros_like(v), jnp.zeros_like(a)
+        gws = jax.tree.map(jnp.zeros_like, ws)
+        for c in reversed(range(n_chunks)):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            x_in, v_in, a_in = ins[c]
+            gw_c, gx, gv, ga = bwd_jit(ws, x_in, v_in, a_in, idx_f[sl],
+                                       (cot_x, cot_v, cot_a, dclip[:, sl]))
+            jax.block_until_ready(gx)
+            cot_x, cot_v, cot_a = gx, gv, ga
+            # per-sample policy grads from the vmap: sum over the batch
+            # (loss cotangents already carry the 1/B of the mean)
+            gws = jax.tree.map(lambda t, g: t + jnp.sum(g, axis=0), gws,
+                               gw_c)
+        return L, gws
 
     # initial-pose sampling on a sphere around the head
     # (hatController.py:18-28)
@@ -174,14 +233,6 @@ def main():
         return (jnp.asarray(np.asarray(x0) + translation, dtype),
                 jnp.asarray(np.asarray(clip0) + translation, dtype))
 
-    batched_loss = jax.jit(
-        lambda ws, xs, aas: jax.tree.map(
-            lambda l: jnp.mean(l),
-            jax.vmap(lambda x, a: episode_loss(ws, x, a)[0])(xs, aas)))
-    grad_fn = jax.jit(jax.value_and_grad(
-        lambda ws, xs, aas: jnp.mean(
-            jax.vmap(lambda x, a: episode_loss(ws, x, a)[0])(xs, aas))))
-
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
     ws = init_net(key)
@@ -192,6 +243,50 @@ def main():
     from diffcloth_tpu.utils import checkpoint as ckpt
     os.makedirs(args.out, exist_ok=True)
     ckpt_dir = os.path.join(args.out, "ckpts")
+
+    if args.eval:
+        # evaluation rollout of the trained controller (reference eval mode,
+        # hatController.py:253-273): one sampled pose, chunked closed-loop
+        # forward with recorded states, rendered to a GIF
+        def chunk_states(ws, x, v, a, idxs_c):
+            def body(carry, idx_f):
+                xx, vv, aa = carry
+                s = featurize(xx, vv)
+                out = jnp.clip(net(ws, s), -1.0, 1.0)
+                delta = (out + 1.0) / 2.0 * (V_MAX - V_MIN) + V_MIN
+                aa = aa + delta.reshape(-1, 3)
+                x2, v2, _ = sim.step(xx, vv, params_sim, aa, p_inv,
+                                     idx_f * sim.h, idx_f)
+                return (x2, v2, aa), x2
+            (xN, vN, aN), X = jax.lax.scan(body, (x, v, a), idxs_c)
+            return xN, vN, aN, X
+
+        eval_jit = jax.jit(chunk_states)
+        with open(os.path.join(args.out, "controller.pkl"), "rb") as fh:
+            ws = jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                              pickle.load(fh))
+        rng_eval = np.random.RandomState(args.seed + 1)
+        x, a = sample_pose(rng_eval)
+        v = jnp.zeros_like(x)
+        idx_f = jnp.arange(1, n_steps + 1, dtype=dtype)
+        frames = [np.asarray(x)]
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            x, v, a, Xc = eval_jit(ws, x, v, a, idx_f[sl])
+            jax.block_until_ready(x)
+            frames.extend(np.asarray(Xc))
+        xs_arr = np.stack(frames)                            # (N+1, n, 3)
+        clip_traj = xs_arr[1:, attach_idx]
+        L = float(traj_loss(jnp.asarray(clip_traj, dtype),
+                            jnp.asarray(xs_arr[-1], dtype)))
+        print(f"eval loss {L:.5f}")
+        from diffcloth_tpu.io import viewer
+        gif = viewer.render_episode(xs_arr, sim.scene_host.tris,
+                                    os.path.join(args.out, "eval.gif"),
+                                    stride=8)
+        print("wrote", gif)
+        return
+
     log = []
     start_epoch = 0
     best = float("inf")
@@ -216,7 +311,7 @@ def main():
         poses = [sample_pose(rng) for _ in range(args.train_samples)]
         xs = jnp.stack([p[0] for p in poses])
         aas = jnp.stack([p[1] for p in poses])
-        loss, grads = grad_fn(ws, xs, aas)
+        loss, grads = loss_and_grad(ws, xs, aas)
         updates, opt_state = opt.update(grads, opt_state)
         ws = optax.apply_updates(ws, updates)
         log.append(float(loss))

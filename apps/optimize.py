@@ -83,7 +83,7 @@ def main():
         from diffcloth_tpu.utils.timing import EpisodeStats
         task = build_task(args.demo, dtype=dtype)
         t0 = time.time()
-        recs = task.sim.rollout(task.param_base)
+        recs = task.sim.rollout_chunked(task.param_base)
         jax.block_until_ready(recs.steps.x)
         stats = EpisodeStats.from_records(recs, forward_s=time.time() - t0)
         print(stats.report())
@@ -94,8 +94,15 @@ def main():
 
     from diffcloth_tpu.optim.solver import solve_demo, solve_demo_tau_ladder
     if args.tau_ladder:
+        if args.tau > 0:
+            raise SystemExit("--tau is the fixed-temperature mode; "
+                             "--tau-ladder anneals its own schedule — "
+                             "pass one or the other")
         res = solve_demo_tau_ladder(args.demo, seed=args.seed,
                                     dtype=dtype, export_dir=out_dir,
+                                    final_maxiter=args.maxiter // 4,
+                                    maxiter_per_rung=max(
+                                        args.maxiter // 8, 4),
                                     n_restarts=args.restarts)
         r = res.result
         print(f"demo={args.demo} (tau ladder) evals={r.n_evals} "
@@ -114,7 +121,7 @@ def main():
             res.task.loss_type,
             _dc.replace(res.task.loss_info, keypoint_tau=0.0))
         params = res.helper.vec_to_params(res.result.x)
-        recs = res.task.sim.rollout(params)
+        recs = res.task.sim.rollout_chunked(params)
         print(f"hard-max loss at smoothed optimum: {float(hard(recs)):.6f}")
     r = res.result
     print(f"demo={args.demo} evals={r.n_evals} iters={r.n_iters} "

@@ -191,7 +191,8 @@ def main():
             extra["f64_cpu_converged_frac"] = row["converged_frac"]
 
             # f32 TPU single-rollout trajectory vs the f64 eps=1e-8 one
-            recs = sim.simulate(base, p_inv, xfs)
+            # (chunked: no monolithic full-horizon executions on chip)
+            recs = sim.rollout_chunked(base, chunk=CHUNK)
             x32 = np.asarray(recs.steps.x, np.float64)
             x64 = np.load(npz)["x"]
             rmse = np.sqrt(np.mean((x32 - x64) ** 2, axis=(1, 2)))

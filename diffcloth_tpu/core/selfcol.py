@@ -342,9 +342,13 @@ def self_friction(f: jnp.ndarray, contacts: SelfContactSet,
     MU_CLOTH = 0.1
     i = contacts.pair_i
     j = contacts.pair_j
-    m_i = mass[i]
-    m_j = mass[j]
-    k_red = m_i * m_j / jnp.maximum(m_i + m_j, 1e-30)
+    # clamp masses away from zero: with a degenerate (zero-density) guess
+    # the reduced mass k_red is already 0 so the friction force vanishes,
+    # but a literal 0-mass division would put non-finite entries in the
+    # residual Jacobian and poison the adjoint VJP (0 * inf = NaN)
+    m_i = jnp.maximum(mass[i], 1e-30)
+    m_j = jnp.maximum(mass[j], 1e-30)
+    k_red = mass[i] * mass[j] / jnp.maximum(mass[i] + mass[j], 1e-30)
     mu = jnp.full(i.shape, MU_CLOTH, f.dtype)
 
     def apply_layer(r, l):

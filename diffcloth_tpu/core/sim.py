@@ -102,7 +102,9 @@ class ClothSim:
                  self_max_layers: int = 16, self_window: int = 48,
                  self_method: Optional[str] = None, self_k_partners: int = 6,
                  dense_ops: Optional[bool] = None,
-                 sparse_ops: Optional[bool] = None):
+                 sparse_ops: Optional[bool] = None,
+                 solve_mode: Optional[str] = None,
+                 cg_max_iters: int = 64, cg_rtol: float = 1e-6):
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
@@ -155,10 +157,22 @@ class ClothSim:
         self.prims = prims if prims is not None else \
             ct.empty_primitive_set(dtype)
 
-        grams = slv.dense_gram_matrices(scene)
+        # global solve: explicit dense P^{-1} up to ~dress scale; past that
+        # the O(n^2) operator data stops paying for itself -> matrix-free
+        # Jacobi-PCG whose per-evaluation data is 1/diag(P) (SURVEY 7.4-5)
+        if solve_mode is None:
+            solve_mode = "dense" if scene.n <= 8000 else "cg"
+        self.solve_mode = solve_mode
         area64 = np.asarray(scene.area, np.float64)
-        self._p_inv_fns = [slv.make_host_p_inv_fn(g, area64, self.h, dtype)
-                           for g in grams]
+        if solve_mode == "dense":
+            self._p_inv_fns = [
+                slv.make_host_p_inv_fn(g, area64, self.h, dtype)
+                for g in slv.dense_gram_matrices(scene)]
+        else:
+            self._p_inv_fns = [
+                slv.make_host_p_diag_inv_fn(None, area64, self.h, dtype,
+                                            gram_diags=d)
+                for d in slv.gram_diagonals(scene)]
         self._p_inv_fn = (self._p_inv_fns[0] if self.n_stages == 1 else
                           lambda k, rho: tuple(f(k, rho)
                                                for f in self._p_inv_fns))
@@ -234,7 +248,9 @@ class ClothSim:
                 eps_forward=self.eps_forward,
                 eps_backward=self.eps_backward,
                 max_forward_iters=max_forward_iters, solve_fn=solve_fn,
-                self_cfg=self_cfg, dense=dnops, sparse=spops)
+                self_cfg=self_cfg, dense=dnops, sparse=spops,
+                solve_mode=solve_mode, cg_max_iters=cg_max_iters,
+                cg_rtol=cg_rtol)
             self.steps.append(st)
             self.residuals.append(rs)
         self.step = self.steps[0]
@@ -395,49 +411,147 @@ class ClothSim:
         return self.simulate(params, self.p_inv(params),
                              self.x_fixed_seq(params))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def simulate_final(self, params: SimParams, p_inv,
-                       x_fixed_seq: jnp.ndarray):
-        """Lean rollout: final (x,v) plus per-step scalars only — no stacked
-        (n,3) per-step outputs.
+    def _chunk_size(self, chunk: int) -> int:
+        N = self.n_steps
+        if N % chunk != 0:
+            # keep one compiled shape per pass
+            chunk = [c for c in range(chunk, 0, -1) if N % c == 0][0]
+        return chunk
 
-        This is the vmap-safe path for batched rollouts: the TPU stack
-        kernel-faults on vmap(scan) programs whose scan stacks large
-        per-step arrays (and at the target batch sizes the stacked
-        trajectories would not fit HBM anyway).  All per-step compute is
-        identical to `simulate`."""
+    def _chunk_execs(self, chunk: int, batched: bool):
+        """Compiled per-chunk forward / VJP executables, cached on the sim.
+
+        The forward threads the explosion-freeze flag through the scan AND
+        between chunks (carried host-side), so chunked rollouts freeze
+        blow-ups exactly like `simulate` (Simulation.cpp:1415-1424); frozen
+        steps pass state (and, through the `where` select, cotangents)
+        straight through.  Besides the stacked trajectory the forward also
+        emits the per-step solver stats (converged/iters/overflow/
+        deformation) so forward-only consumers (loss evaluation, record
+        export) see the same diagnostics as `simulate`."""
         h = self.h
+        cache = getattr(self, "_chunk_exec_cache", None)
+        if cache is None:
+            cache = self._chunk_exec_cache = {}
+        key = (chunk, batched)
+        if key in cache:
+            return cache[key]
 
         from diffcloth_tpu.core import diagnostics as diag
 
-        def seg_scan(s, lo, hi, carry):
-            step = self.steps[s]
-            F_s = len(self.stages_host[s].particle_idx)
-            p_inv_s = self._p_inv_of(p_inv, s)
-
-            def body(carry, inp):
-                x, v, frozen = carry
-                x_fixed, idx_f = inp
-                x2, v2, aux = step(x, v, params, x_fixed, p_inv_s,
-                                   idx_f * h, idx_f)
+        def chunk_roll(x, v, frozen, params, p_inv, xfs_c, idxs_c):
+            def body(c, inp):
+                x, v, frozen = c
+                xf, i = inp
+                x2, v2, aux = self.step(x, v, params, xf, p_inv,
+                                        i * h, i)
                 frozen = jnp.logical_or(frozen, diag.is_exploded(x2, v2))
                 x2 = jnp.where(frozen, x, x2)
                 v2 = jnp.where(frozen, v, v2)
-                return (x2, v2, frozen), (aux.converged, aux.iters)
+                stats = (aux.converged, aux.iters, aux.selfcol_overflow,
+                         aux.avg_deformation, aux.max_deformation)
+                return (x2, v2, frozen), (x2, v2, stats)
+            (xN, vN, frozenN), (Xc, Vc, stats) = jax.lax.scan(
+                body, (x, v, frozen), (xfs_c, idxs_c))
+            return xN, vN, frozenN, Xc, Vc, stats
 
-            idx_f = jnp.arange(lo, hi, dtype=self.dtype)
-            return jax.lax.scan(
-                body, carry, (x_fixed_seq[lo - 1:hi - 1, :F_s], idx_f))
+        def vjp_chunk(x, v, frozen, params, p_inv, xfs_c, idxs_c, cot):
+            def diff_roll(x_, v_, p_, xf_):
+                xN, vN, _, Xc, Vc, _ = chunk_roll(x_, v_, frozen, p_,
+                                                  p_inv, xf_, idxs_c)
+                return xN, vN, Xc, Vc
+            _, vjp = jax.vjp(diff_roll, x, v, params, xfs_c)
+            return vjp(cot)
 
-        carry = (params.x0, params.v0, jnp.asarray(False))
-        parts = []
-        for s, lo, hi in self._segments:
-            carry, out = seg_scan(s, lo, hi, carry)
-            parts.append(out)
-        xN, vN, _ = carry
-        conv = jnp.concatenate([p[0] for p in parts])
-        iters = jnp.concatenate([p[1] for p in parts])
-        return xN, vN, conv, iters
+        if batched:
+            fwd_jit = jax.jit(jax.vmap(
+                chunk_roll, in_axes=(0, 0, 0, 0, None, 0, None)))
+            bwd_jit = jax.jit(jax.vmap(
+                vjp_chunk, in_axes=(0, 0, 0, 0, None, 0, None, 0)))
+        else:
+            fwd_jit = jax.jit(chunk_roll)
+            bwd_jit = jax.jit(vjp_chunk)
+        cache[key] = (fwd_jit, bwd_jit)
+        return fwd_jit, bwd_jit
+
+    def _chunk_forward(self, params, p_inv, xfs, chunk: int,
+                       keep_inputs: bool = False):
+        """Run the whole horizon through the cached chunked forward.
+        Returns (X, V, stats, chunk_inputs) with stats a tuple of stacked
+        per-step arrays; `chunk_inputs` (the (x, v, frozen) entering each
+        chunk) only when keep_inputs (needed for the reverse sweep)."""
+        chunk = self._chunk_size(chunk)
+        fwd_jit, _ = self._chunk_execs(chunk, batched=False)
+        N = self.n_steps
+        idx_f = jnp.arange(1, N + 1, dtype=self.dtype)
+        x, v = params.x0, params.v0
+        frozen = jnp.asarray(False)
+        ins, Xs, Vs, stats_parts = [], [], [], []
+        for c in range(N // chunk):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            if keep_inputs:
+                ins.append((x, v, frozen))
+            x, v, frozen, Xc, Vc, st = fwd_jit(x, v, frozen, params, p_inv,
+                                               xfs[sl], idx_f[sl])
+            jax.block_until_ready(x)
+            Xs.append(Xc)
+            Vs.append(Vc)
+            stats_parts.append(st)
+        X = jnp.concatenate(Xs, axis=0)
+        V = jnp.concatenate(Vs, axis=0)
+        stats = tuple(jnp.concatenate(parts)
+                      for parts in zip(*stats_parts))
+        return X, V, stats, ins
+
+    def _records_from_chunks(self, params, xfs, X, V, stats
+                             ) -> EpisodeRecords:
+        N = self.n_steps
+        conv, iters, overflow, avg_def, max_def = stats
+        zeros = jnp.zeros_like(X)
+        return EpisodeRecords(
+            x0=params.x0, v0=params.v0,
+            steps=StepRecord(
+                x=X, v=V, f=zeros, r=zeros,
+                x_fixed=jnp.pad(
+                    xfs, ((0, 0), (0, self.max_fixed - xfs.shape[1]),
+                          (0, 0))) if xfs.shape[1] < self.max_fixed else xfs,
+                converged=conv, iters=iters,
+                avg_deformation=avg_def, max_deformation=max_def,
+                selfcol_overflow=overflow))
+
+    def rollout_chunked(self, params: SimParams,
+                        chunk: int = 50) -> EpisodeRecords:
+        """`rollout` with no single device execution longer than `chunk`
+        steps — the safe path for long contact-rich horizons on remote-TPU
+        transports.  Records match `simulate` except f/r (pre-friction force
+        and friction force), which are zero-filled (no consumer outside the
+        viewer overlays reads them from exported episodes)."""
+        if self.n_stages > 1:
+            return self.rollout(params)
+        p_inv = self.p_inv(params)
+        xfs = self.x_fixed_seq(params)
+        X, V, stats, _ = self._chunk_forward(params, p_inv, xfs, chunk)
+        return self._records_from_chunks(params, xfs, X, V, stats)
+
+    def episode_loss_chunked(self, loss_fn, chunk: int = 50):
+        """Forward-only chunked loss evaluation (params -> float loss).
+        Shares the compiled chunk executables with the gradient path, so a
+        restart filter or a ladder's hard-loss check costs no extra
+        compilation and never launches a monolithic full-horizon
+        execution."""
+        if self.n_stages > 1:
+            def value_multistage(params):
+                return loss_fn(self.rollout(params))
+            return value_multistage
+
+        def value(params):
+            p_inv = self.p_inv(params)
+            xfs = self.x_fixed_seq(params)
+            X, V, stats, _ = self._chunk_forward(params, p_inv, xfs, chunk)
+            recs = self._records_from_chunks(params, xfs, X, V, stats)
+            return loss_fn(recs)
+
+        return value
 
     def episode_value_and_grad_chunked(self, loss_fn, chunk: int = 50,
                                        batched: bool = False):
@@ -465,52 +579,15 @@ class ClothSim:
             # monolithic gradient (segmented scans) is both simpler and
             # exactly what chunking would reproduce
             return self.episode_value_and_grad(loss_fn)
-        h = self.h
         N = self.n_steps
-        if N % chunk != 0:
-            # keep one compiled shape per pass
-            divisors = [c for c in range(chunk, 0, -1) if N % c == 0]
-            chunk = divisors[0]
+        chunk = self._chunk_size(chunk)
         n_chunks = N // chunk
 
         # the chunk executables are loss-independent; cache them on the sim
         # so swapping the loss (e.g. a keypoint-softmax tau ladder) reuses
         # the expensive compiled scan + VJP and only recompiles the cheap
         # loss-over-records gradient below
-        cache = getattr(self, "_chunk_exec_cache", None)
-        if cache is None:
-            cache = self._chunk_exec_cache = {}
-        key = (chunk, batched)
-        if key in cache:
-            fwd_jit, bwd_jit = cache[key]
-        else:
-            def chunk_roll(x, v, params, p_inv, xfs_c, idxs_c):
-                def body(c, inp):
-                    x, v = c
-                    xf, i = inp
-                    x2, v2, aux = self.step(x, v, params, xf, p_inv,
-                                            i * h, i)
-                    return (x2, v2), (x2, v2)
-                (xN, vN), (Xc, Vc) = jax.lax.scan(body, (x, v),
-                                                  (xfs_c, idxs_c))
-                return xN, vN, Xc, Vc
-
-            def vjp_chunk(x, v, params, p_inv, xfs_c, idxs_c, cot):
-                _, vjp = jax.vjp(
-                    lambda x_, v_, p_, xf_: chunk_roll(x_, v_, p_, p_inv,
-                                                       xf_, idxs_c),
-                    x, v, params, xfs_c)
-                return vjp(cot)
-
-            if batched:
-                fwd_jit = jax.jit(jax.vmap(
-                    chunk_roll, in_axes=(0, 0, 0, None, 0, None)))
-                bwd_jit = jax.jit(jax.vmap(
-                    vjp_chunk, in_axes=(0, 0, 0, None, 0, None, 0)))
-            else:
-                fwd_jit = jax.jit(chunk_roll)
-                bwd_jit = jax.jit(vjp_chunk)
-            cache[key] = (fwd_jit, bwd_jit)
+        fwd_jit, bwd_jit = self._chunk_execs(chunk, batched)
 
         def records_loss(X, V, xfs, params):
             recs = EpisodeRecords(
@@ -542,15 +619,17 @@ class ClothSim:
                 xfs, pull_xfs = jax.vjp(self.x_fixed_seq, params)
             idx_f = jnp.arange(1, N + 1, dtype=self.dtype)
 
-            # forward, chunked
+            # forward, chunked (frozen explosion flag carried between
+            # chunks exactly like inside `simulate`'s scan)
             x, v = params.x0, params.v0
-            xs_in, vs_in, Xs, Vs = [], [], [], []
+            frozen = (jnp.zeros((x.shape[0],), bool) if batched
+                      else jnp.asarray(False))
+            ins, Xs, Vs = [], [], []
             for c in range(n_chunks):
                 sl = slice(c * chunk, (c + 1) * chunk)
-                xs_in.append(x)
-                vs_in.append(v)
-                x, v, Xc, Vc = fwd_jit(x, v, params, p_inv, tsl(xfs, sl),
-                                       idx_f[sl])
+                ins.append((x, v, frozen))
+                x, v, frozen, Xc, Vc, _ = fwd_jit(
+                    x, v, frozen, params, p_inv, tsl(xfs, sl), idx_f[sl])
                 jax.block_until_ready(x)
                 Xs.append(Xc)
                 Vs.append(Vc)
@@ -567,8 +646,9 @@ class ClothSim:
             g_xfs = jnp.zeros_like(xfs)
             for c in reversed(range(n_chunks)):
                 sl = slice(c * chunk, (c + 1) * chunk)
+                x_in, v_in, frozen_in = ins[c]
                 gx, gv, gp, gxf = bwd_jit(
-                    xs_in[c], vs_in[c], params, p_inv, tsl(xfs, sl),
+                    x_in, v_in, frozen_in, params, p_inv, tsl(xfs, sl),
                     idx_f[sl],
                     (cot_x, cot_v, tsl(dLdX, sl), tsl(dLdV, sl)))
                 jax.block_until_ready(gx)

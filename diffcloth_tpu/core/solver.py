@@ -45,6 +45,18 @@ def dense_gram_matrices(scene: "gb.Scene") -> List[np.ndarray]:
     return out
 
 
+def gram_diagonals(scene: "gb.Scene") -> List[np.ndarray]:
+    """Per-stage (4, n) diag(S_t) — the O(n) substitute for
+    dense_gram_matrices on the CG solve path."""
+    n = scene.n
+    d_stretch = gb.rows_to_ata_diag(gb.stretch_rows(scene.triangle), n)
+    d_bend = gb.rows_to_ata_diag(gb.bend_rows(scene.bending), n)
+    d_spring = gb.rows_to_ata_diag(gb.spring_rows(scene.springs), n)
+    return [np.stack([d_spring, gb.rows_to_ata_diag(gb.attach_rows(st), n),
+                      d_stretch, d_bend])
+            for st in scene.stages]
+
+
 def make_host_p_inv_fn(gram_stack: np.ndarray, area: np.ndarray, h: float,
                        dtype):
     """Returns host-side (k_pertype, density) -> P^{-1} for one stage.
@@ -70,3 +82,28 @@ def make_host_p_inv_fn(gram_stack: np.ndarray, area: np.ndarray, h: float,
         return jnp.asarray(inv, dtype)
 
     return p_inv
+
+
+def make_host_p_diag_inv_fn(gram_stack: np.ndarray, area: np.ndarray,
+                            h: float, dtype,
+                            gram_diags: np.ndarray = None):
+    """Jacobi preconditioner for the matrix-free CG solve path
+    (n >~ 7k, where the explicit dense P^{-1} stops paying for itself):
+    (k_pertype, density) -> 1/diag(P), shape (n,).
+
+    Same refactorization cadence as the dense path (once per optimizer
+    evaluation, resetSystemWithParams -> initializePrefactoredMatrices,
+    Simulation.cpp:3490-3559) but O(n) data instead of O(n^2).
+
+    `gram_diags` ((4, n), diag of each per-type Gram) can be passed to
+    avoid materializing the dense gram_stack for very large meshes."""
+    h2 = h * h
+    diags = gram_diags if gram_diags is not None else \
+        np.stack([np.diagonal(g) for g in gram_stack])
+
+    def p_diag_inv(k_pertype, density):
+        k = np.asarray(k_pertype, np.float64)
+        d = float(density) * area + h2 * (k @ diags)
+        return jnp.asarray(1.0 / d, dtype)
+
+    return p_diag_inv

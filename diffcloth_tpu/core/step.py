@@ -114,6 +114,45 @@ def _solve(p_inv, rhs):
     return jnp.matmul(p_inv, rhs, precision=jax.lax.Precision.HIGHEST)
 
 
+def _pcg(op, b, diag_inv, max_iters: int, rtol: float):
+    """Jacobi-preconditioned conjugate gradients on the SPD operator `op`,
+    three right-hand sides jointly (b is (n,3); P x I_3 is SPD on the
+    product space, so inner products run over all entries).
+
+    The matrix-free global solve for meshes beyond the explicit dense
+    P^{-1} (O(n^2) operator data stops paying for itself past dress scale,
+    SURVEY section 7.4-5).  PD tolerates inexact global solves — the local
+    projections re-correct each sweep — so a modest iteration cap is
+    enough; the solve noise floor is governed by rtol like the dense
+    path's is by the bf16/f32 matmul precision."""
+    x = diag_inv[:, None] * b           # Jacobi initial guess
+    r = b - op(x)
+    z = diag_inv[:, None] * r
+    p = z
+    rz = jnp.sum(r * z)
+    stop2 = (rtol * jnp.linalg.norm(b)) ** 2
+
+    def cond(c):
+        _, r, _, _, it = c
+        return jnp.logical_and(it < max_iters,
+                               jnp.sum(r * r) > stop2)
+
+    def body(c):
+        x, r, p, rz, it = c
+        Ap = op(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = diag_inv[:, None] * r
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        return x, r, z + beta * p, rz_new, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
+    return x
+
+
 class StepAux(NamedTuple):
     f: jnp.ndarray
     r: jnp.ndarray
@@ -145,7 +184,9 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
               eps_forward: float, eps_backward: float,
               max_forward_iters: Optional[int] = None,
               solve_fn=None, self_cfg: Optional[SelfColConfig] = None,
-              dense: Optional[dn.DenseOps] = None, sparse=None):
+              dense: Optional[dn.DenseOps] = None, sparse=None,
+              solve_mode: str = "dense", cg_max_iters: int = 64,
+              cg_rtol: float = 1e-6):
     """Build the custom-VJP PD step for one attachment stage.
 
     Topology tensors (scene/stage/prims) are baked as trace-time constants;
@@ -164,7 +205,9 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     n = int(scene.area.shape[0])
     # pluggable global solve: default is the local dense P^{-1} matmul; the
     # tensor-parallel path row-shards P^{-1} over a mesh axis and all-gathers
-    # the solution (parallel/mesh.py)
+    # the solution (parallel/mesh.py); solve_mode='cg' uses matrix-free
+    # Jacobi-PCG on P (p_inv data = 1/diag(P), see solver_for below)
+    explicit_solve = solve_fn
     solve_fn = solve_fn or _solve
     max_iter = max_forward_iters or flags.max_forward_iters or \
         pd_total_iters(eps_forward)
@@ -317,6 +360,19 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         m = masses(params)
         return m[:, None] * u + h2 * apply_AtA_all(params.k_pertype, u, Sk)
 
+    def solver_for(params, Sk=None):
+        """The global solve for this step, closed over the parameter guess.
+        'dense': p_inv is the explicit (n,n) inverse, one MXU matmul.
+        'cg':    p_inv is 1/diag(P) (solver.make_host_p_diag_inv_fn) and
+                 the solve is matrix-free Jacobi-PCG on apply_P — the
+                 beyond-dress-scale path (SURVEY section 7.4-5)."""
+        if explicit_solve is None and solve_mode == "cg":
+            def sv(p_diag_inv, rhs):
+                return _pcg(lambda u: apply_P(params, u, Sk), rhs,
+                            p_diag_inv, cg_max_iters, cg_rtol)
+            return sv
+        return solve_fn
+
     # -- forward PD loop ----------------------------------------------------
 
     def pd_forward(x_n, v_n, params, x_fixed, p_inv, t, step_idx):
@@ -353,6 +409,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         y_n = apply_A_all(x_n)
         Sk = dn.weighted_S(dense, params.k_pertype) if (
             dense is not None and has_contact) else None
+        solve = solver_for(params, Sk)
 
         def one_iter(x_now, v_now):
             btilde = btilde_of(params, m, f_ext, x_n, v_n, x_now, x_fixed,
@@ -366,7 +423,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 # scenes and reconstruct it once post-loop for the record
                 f = jnp.zeros_like(x_n)
                 r = jnp.zeros_like(x_n)
-            v_new = solve_fn(p_inv, btilde + r)
+            v_new = solve(p_inv, btilde + r)
             x_new = x_n + h * v_new
             return x_new, v_new, f, r
 
@@ -467,12 +524,15 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             scale = jnp.where(norm > cap, cap / jnp.maximum(norm, 1e-30), 1.0)
             w = w * scale
 
+        w_norm_in = jnp.linalg.norm(w)
+
         _, vjp_v = jax.vjp(
             lambda vn: residual(vn, x_n, v_n, params, x_fixed, contact,
                                 selfc, t, step_idx), v_new)
 
         Sk_b = dn.weighted_S(dense, params.k_pertype) if dense is not None \
             else None
+        solve = solver_for(params, Sk_b)
 
         def fp_cond(c):
             lam, lam_prev, it, done, bad = c
@@ -482,7 +542,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             lam, _, it, _, _ = c
             # lambda <- P^{-1} (w + P lambda - (dR/dv)^T lambda)
             rhs = w + apply_P(params, lam, Sk_b) - vjp_v(lam)[0]
-            lam_next = solve_fn(p_inv, rhs)
+            lam_next = solve(p_inv, rhs)
             # reference convergence: |u_k - u_{k-1}|/n < eps_b with u = lam/h
             delta = jnp.linalg.norm(lam_next - lam) / (n * h)
             # divergence guard: the fixed point contracts only when
@@ -493,7 +553,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             return (lam_next, lam, it + 1, delta < eps_backward, bad)
 
         w_norm = jnp.linalg.norm(w)
-        lam0 = solve_fn(p_inv, w)
+        lam0 = solve(p_inv, w)
         lam, _, back_iters, back_ok, back_bad = jax.lax.while_loop(
             fp_cond, fp_body, (lam0, jnp.zeros_like(lam0),
                                jnp.asarray(1, jnp.int32),
@@ -513,19 +573,35 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             # while a large budget makes the fused episode-gradient
             # executable slow enough to trip remote-TPU execution limits
             sol = _gmres_cycle(
-                lambda u: solve_fn(p_inv, vjp_v(u)[0]),
-                solve_fn(p_inv, w),
+                lambda u: solve(p_inv, vjp_v(u)[0]),
+                solve(p_inv, w),
                 jnp.where(jnp.isfinite(lam0), lam0, 0.0), m=16)
             return jnp.where(jnp.isfinite(sol), sol, 0.0)
 
         lam = jax.lax.cond(back_ok & ~back_bad,
                            lambda _: lam, gmres_fallback, None)
+        # zero-cotangent short-circuit: a frozen (exploded) step receives
+        # zero cotangents through the scan's freeze select; the lam=0
+        # solution is exact there, but evaluating the residual VJP at the
+        # exploded state would turn 0 * NaN into NaN.  The reference
+        # likewise never runs stepBackward past an explosion (the rollout
+        # is frozen, Simulation.cpp:1415-1424).
+        lam = jnp.where(w_norm_in > 0, lam, 0.0)
 
-        _, vjp_rest = jax.vjp(
-            lambda xn, vn, pr, xf: residual(v_new, xn, vn, pr, xf, contact,
-                                            selfc, t, step_idx),
-            x_n, v_n, params, x_fixed)
-        gx, gv, gp, gxf = vjp_rest(lam)
+        def rest_vjp(lam):
+            _, vjp_rest = jax.vjp(
+                lambda xn, vn, pr, xf: residual(v_new, xn, vn, pr, xf,
+                                                contact, selfc, t, step_idx),
+                x_n, v_n, params, x_fixed)
+            return vjp_rest(lam)
+
+        def rest_zero(lam):
+            return (jnp.zeros_like(x_n), jnp.zeros_like(v_n),
+                    jax.tree.map(jnp.zeros_like, params),
+                    jnp.zeros_like(x_fixed))
+
+        gx, gv, gp, gxf = jax.lax.cond(w_norm_in > 0, rest_vjp, rest_zero,
+                                       lam)
 
         x_bar_out = x_bar - gx
         v_bar_out = -gv

@@ -430,6 +430,16 @@ def rows_to_dense_ata(rows: ARows, n: int) -> np.ndarray:
     return S
 
 
+def rows_to_ata_diag(rows: ARows, n: int) -> np.ndarray:
+    """diag(A0^T A0) only — O(n) memory, for the matrix-free CG solve path
+    (the dense (n,n) Gram stack at >~10k vertices costs GBs of host RAM
+    for data the Jacobi preconditioner never reads)."""
+    d = np.zeros((n,))
+    if rows.idx.shape[0]:
+        np.add.at(d, rows.idx, rows.w * rows.w)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # lumped areas / collision radii
 

@@ -69,8 +69,12 @@ class OptimizeHelper:
         # (see episode_value_and_grad_chunked)
         if chunked is None:
             chunked = sim.n_steps > 250 or sim.n > 2000
+        self.chunked = chunked
+        self.chunk = chunk
         self._vg = (sim.episode_value_and_grad_chunked(loss_fn, chunk=chunk)
                     if chunked else sim.episode_value_and_grad(loss_fn))
+        self._loss_eval = (sim.episode_loss_chunked(loss_fn, chunk=chunk)
+                           if chunked else None)
         self.eval_count = 0
         self.history: List[Tuple[float, np.ndarray]] = []
 
@@ -211,7 +215,13 @@ class OptimizeHelper:
     # ----------------------------------------------------------- objective
 
     def loss(self, x: np.ndarray) -> float:
+        """Forward-only loss (restart filtering / reporting).  On the
+        chunked path this shares the gradient path's compiled chunk
+        executables AND its explosion-freeze semantics, so loss() and
+        loss_and_grad() agree for the same x."""
         params = self.vec_to_params(x)
+        if self._loss_eval is not None:
+            return float(self._loss_eval(params))
         p_inv = self.sim.p_inv(params)
         recs = self.sim.simulate(params, p_inv,
                                  self.sim.x_fixed_seq(params))

@@ -150,6 +150,10 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
     hard_fn = _losses.make_loss_fn(
         task.loss_type, dataclasses.replace(task.loss_info,
                                             keypoint_tau=0.0))
+    # per-rung hard-loss reporting through the cached chunked executables
+    # (a monolithic full-horizon rollout per rung is exactly the execution
+    # shape the chunked adjoint exists to avoid on remote-TPU transports)
+    hard_eval = task.sim.episode_loss_chunked(hard_fn)
 
     def rung_helper(tau):
         loss_fn = _losses.make_loss_fn(
@@ -186,8 +190,7 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
                               maxiter=it)
         x = res.x
         params = helper.vec_to_params(x)
-        recs = task.sim.rollout(params)
-        hard = float(hard_fn(recs))
+        hard = float(hard_eval(params))
         rungs.append({"tau": tau, "smoothed_loss": res.loss,
                       "hard_max_loss": hard, "n_evals": res.n_evals,
                       "n_iters": res.n_iters})
@@ -232,7 +235,7 @@ def export_optimization(folder: str, demo: str, helper: OptimizeHelper,
 
     params = helper.vec_to_params(res.x)
     t0 = _time.time()
-    recs = helper.sim.rollout(params)
+    recs = helper.sim.rollout_chunked(params)
     stats = EpisodeStats.from_records(recs, forward_s=_time.time() - t0)
     ioexp.export_episode(os.path.join(folder, "final"), recs,
                          helper.sim.scene_host.tris,

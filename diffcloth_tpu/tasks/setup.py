@@ -152,7 +152,7 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
 
 
 def _generate_groundtruth(sim: ClothSim, params: SimParams):
-    recs = sim.rollout(params)
+    recs = sim.rollout_chunked(params)
     return np.asarray(recs.full_x())
 
 

@@ -234,3 +234,46 @@ def test_chunked_adjoint_matches_monolithic(small):
         b = np.asarray(getattr(g2, field))
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12,
                                    err_msg=field)
+
+
+def test_chunked_forward_matches_simulate(small):
+    """rollout_chunked / episode_loss_chunked reproduce simulate()'s
+    trajectory, solver stats, and loss exactly (shared step; the chunk
+    boundary is associativity only)."""
+    scene, sim, params, recs = small
+    recs_c = sim.rollout_chunked(params, chunk=2)
+    np.testing.assert_allclose(np.asarray(recs_c.steps.x),
+                               np.asarray(recs.steps.x), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(recs_c.steps.converged),
+                                  np.asarray(recs.steps.converged))
+    np.testing.assert_array_equal(np.asarray(recs_c.steps.iters),
+                                  np.asarray(recs.steps.iters))
+    info = losses.LossInfo(
+        target_x=jnp.zeros((sim.n_steps + 1, sim.n, 3), jnp.float64))
+    loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    L_mono = float(loss_fn(recs))
+    L_chunk = float(sim.episode_loss_chunked(loss_fn, chunk=2)(params))
+    assert np.isclose(L_mono, L_chunk, rtol=1e-12)
+
+
+def test_chunked_explosion_freeze_parity(small):
+    """The chunked forward must freeze blow-ups exactly like simulate():
+    the frozen flag is threaded through chunk boundaries, so loss() and
+    loss_and_grad() agree for exploding parameter guesses (ADVICE r2)."""
+    scene, sim, params, _ = small
+    bad = params._replace(density=jnp.asarray(0.0, jnp.float64))
+    p_inv = sim.p_inv(params)  # valid operator; the forces still explode
+    recs_mono = sim.simulate(bad, p_inv, sim.x_fixed_seq(bad))
+    xfs = sim.x_fixed_seq(bad)
+    X, V, stats, _ = sim._chunk_forward(bad, p_inv, xfs, chunk=2)
+    np.testing.assert_allclose(np.asarray(X),
+                               np.asarray(recs_mono.steps.x), rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(X)))
+    # gradient path: finite loss on the frozen rollout, finite gradients
+    info = losses.LossInfo(
+        target_x=jnp.zeros((sim.n_steps + 1, sim.n, 3), jnp.float64))
+    loss_fn = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    vg = sim.episode_value_and_grad_chunked(loss_fn, chunk=2)
+    L, g = vg(bad)
+    assert np.isfinite(float(L))
+    assert np.all(np.isfinite(np.asarray(g.wind)))
