@@ -25,9 +25,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_sim(tiny: bool, tp_axis=None):
+def build_sim(tiny, tp_axis=None):
     import __graft_entry__ as em
-    sim = em._flagship_sim(tiny=tiny)
+    if isinstance(tiny, int) and not isinstance(tiny, bool):
+        # medium grid: large enough that per-device compute dominates
+        # dispatch, small enough for a CPU-mesh validation run
+        from diffcloth_tpu.config import (AttachmentConfig, FabricConfig,
+                                          SceneConfig, WindConfig)
+        from diffcloth_tpu.core.sim import ClothSim
+        from diffcloth_tpu.geometry import builder as gbm
+        cfg = SceneConfig(
+            fabric=FabricConfig(cloth_dim_x=4, cloth_dim_y=4,
+                                k_stiff_stretching=550,
+                                k_stiff_bending=0.01, grid_num_x=tiny,
+                                grid_num_y=tiny, density=0.124),
+            attachment_points=AttachmentConfig.LEFT_RIGHT_CORNERS_2,
+            wind_config=WindConfig.WIND_SIN, time_step=1.0 / 90.0,
+            step_num=60, name=f"grid{tiny}")
+        sim = ClothSim(gbm.build_scene(cfg))
+    else:
+        sim = em._flagship_sim(tiny=tiny)
     if tp_axis:
         from diffcloth_tpu.core import step as step_mod
         from diffcloth_tpu.parallel import mesh as pmesh
@@ -43,7 +60,7 @@ def build_sim(tiny: bool, tp_axis=None):
 
 
 def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
-        tp: int, out_path: str):
+        tp: int, out_path: str, note: str = ""):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -158,6 +175,8 @@ def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
         "batch_per_device": batch_per_device,
         "steps": steps,
     }
+    if note:
+        result["note"] = note
     sps_1 = measure_forward(devs[:1])
     sps_n = measure_forward(devs)
     result["forward_steps_per_sec_1dev"] = round(sps_1, 1)
@@ -189,9 +208,16 @@ def main():
                     help="write the JSON line to this file as well")
     ap.add_argument("--full-mesh", action="store_true",
                     help="use the tshirt1000 mesh instead of the tiny grid")
+    ap.add_argument("--grid", type=int, default=0,
+                    help="use an NxN grid scene (60-step horizon) instead "
+                         "of the tiny 4x4 one — compute-dominated rows on "
+                         "a CPU mesh")
     ap.add_argument("--tpu", action="store_true",
                     help="use the real TPU devices (default: virtual CPU "
                          "mesh, which validates the sharded program)")
+    ap.add_argument("--note", default="",
+                    help="free-form provenance note recorded in the JSON "
+                         "(e.g. physical core count behind a virtual mesh)")
     args = ap.parse_args()
 
     import jax
@@ -200,7 +226,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.devices)
     run(args.devices, args.batch_per_device, args.steps,
-        tiny=not args.full_mesh, tp=args.tp, out_path=args.out)
+        tiny=args.grid if args.grid else not args.full_mesh,
+        tp=args.tp, out_path=args.out, note=args.note)
 
 
 if __name__ == "__main__":

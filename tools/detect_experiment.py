@@ -58,13 +58,11 @@ def main():
     h = sim.h
 
     # --- squashed state with real self-contacts ---------------------------
+    # pick the mildest y-squash giving a healthy contact count WITHOUT
+    # overflow (overflowing detectors keep method-dependent subsets, so
+    # pair sets are only comparable below capacity)
     x0 = np.asarray(scene.x_rest, np.float64)
     c = x0.mean(axis=0)
-    xsq = (x0 - c) * np.array([1.0, 0.035, 1.0]) + c
-    v = np.zeros_like(xsq)
-    x_dev = jnp.asarray(xsq, jnp.float32)
-    v_dev = jnp.asarray(v, jnp.float32)
-
     allowed_tri = np.asarray(
         ~scene.conn_table & ~np.eye(n, dtype=bool) &
         np.triu(np.ones((n, n), bool), 1))
@@ -77,19 +75,33 @@ def main():
     det_p = jax.jit(lambda x, v: scp.detect_self_collisions_pallas(
         allowed_pal, radii, x, v, h, K, cap))
 
+    chosen = None
+    for s in (0.6, 0.45, 0.35, 0.28, 0.22, 0.17, 0.13, 0.1, 0.07, 0.05):
+        xsq = (x0 - c) * np.array([1.0, s, 1.0]) + c
+        x_dev = jnp.asarray(xsq, jnp.float32)
+        v_dev = jnp.zeros_like(x_dev)
+        cs = det_m(x_dev, v_dev)
+        n_hit = int(np.asarray(cs.mask).sum())
+        ovf = bool(cs.overflow)
+        print(f"scale {s}: hits={n_hit} overflow={ovf}", flush=True)
+        if not ovf and 20 <= n_hit <= cap // 2:
+            chosen = s
+            break
+    assert chosen is not None, "no squash scale gave a clean contact set"
+
     cs_m = det_m(x_dev, v_dev)
     cs_p = det_p(x_dev, v_dev)
     pm, pp = pairset(cs_m, n), pairset(cs_p, n)
-    print(f"single-state: matrix pairs={len(pm)} pallas pairs={len(pp)} "
-          f"overflow m={bool(cs_m.overflow)} p={bool(cs_p.overflow)} "
-          f"equal={pm == pp}", flush=True)
+    print(f"single-state (scale {chosen}): matrix pairs={len(pm)} "
+          f"pallas pairs={len(pp)} overflow m={bool(cs_m.overflow)} "
+          f"p={bool(cs_p.overflow)} equal={pm == pp}", flush=True)
     assert pm == pp, (len(pm), len(pp), list(pm ^ pp)[:10])
     assert len(pm) > 0, "squash produced no contacts — test is vacuous"
 
     # --- vmap parity at B=32 ----------------------------------------------
     B = 32
     rng = np.random.RandomState(0)
-    scales = 0.03 + 0.05 * rng.rand(B)
+    scales = chosen * (0.9 + 0.4 * rng.rand(B))
     xs = np.stack([(x0 - c) * np.array([1.0, s, 1.0]) + c for s in scales])
     xs_dev = jnp.asarray(xs, jnp.float32)
     vs_dev = jnp.zeros_like(xs_dev)
