@@ -280,9 +280,16 @@ def assign_layers(contacts: SelfContactSet, n_particles: int,
     (i*n + j, lexicographic — NOT its slot position, so the result is
     independent of the broad phase's candidate ordering) to both endpoints
     with scatter-min; a pair joins the layer iff it won both.
-    Invariant: within a layer no particle appears twice."""
+    Invariant: within a layer no particle appears twice.
+
+    (A Luby-style hashed priority would finish chain-shaped contact graphs
+    in O(log) rounds instead of one per link, but the resulting layer
+    GROUPING differs from the id-ordered greedy the gradient oracles are
+    calibrated against, and the rounds run once per step, not per PD
+    iteration, so the id order stays.)"""
     slot_ids = contacts.pair_i * jnp.int32(n_particles) + contacts.pair_j
-    BIG = jnp.int32(n_particles) * jnp.int32(n_particles) + 1
+    pri = slot_ids
+    BIG = jnp.iinfo(jnp.int32).max
 
     def round_cond(state):
         layer, unassigned, k = state
@@ -293,11 +300,11 @@ def assign_layers(contacts: SelfContactSet, n_particles: int,
         active = unassigned & contacts.mask
 
         owner = jnp.full((n_particles,), BIG, jnp.int32)
-        ids = jnp.where(active, slot_ids, BIG)
+        ids = jnp.where(active, pri, BIG)
         owner = owner.at[contacts.pair_i].min(ids, mode="drop")
         owner = owner.at[contacts.pair_j].min(ids, mode="drop")
-        win = active & (owner[contacts.pair_i] == slot_ids) & \
-            (owner[contacts.pair_j] == slot_ids)
+        win = active & (owner[contacts.pair_i] == pri) & \
+            (owner[contacts.pair_j] == pri)
         layer = jnp.where(win, k, layer)
         return layer, unassigned & ~win, k + 1
 
@@ -311,6 +318,97 @@ def assign_layers(contacts: SelfContactSet, n_particles: int,
     # friction this step — mirrored by masking them out entirely
     mask = contacts.mask & (layer >= 0)
     return contacts._replace(layer=layer, mask=mask)
+
+
+class SelfContactTables(NamedTuple):
+    """Per-layer partner tables — the gather-only dual of the pair list.
+
+    TPU rationale: the pair-list friction scatter-adds r_pair into both
+    endpoints with DUPLICATE indices across layers, which XLA lowers to a
+    sequential per-index loop (~0.4 ms per scatter at tshirt scale) — run
+    inside every PD iteration this dominated the whole contact step (round-3
+    on-chip bisection, tools/step_profile.py).  The layering invariant
+    (each particle at most once per layer) means a per-layer (n,) partner
+    index is lossless; friction then needs NO scatter at all: every row
+    gathers its partner's state and writes only itself.  Both endpoints
+    compute the same force with sign-flipped (normal, d) inputs, and
+    `dry_friction_force` is exactly odd under that flip (every op is
+    sign-exact), so Newton's third law holds bitwise."""
+    partner: jnp.ndarray    # (L, n) int32 partner index, -1 = none
+    normal: jnp.ndarray     # (L, n, 3) row-signed normal (partner -> row)
+    n_layers: jnp.ndarray   # () int32 — number of populated layers
+
+
+def build_layer_tables(contacts: SelfContactSet, n_particles: int,
+                       max_layers: int) -> SelfContactTables:
+    """Pair list -> per-layer partner tables, one unique-index scatter pass
+    (per STEP, amortized over all PD iterations).  Requires layered
+    contacts (assign_layers output, or kernel slot layers)."""
+    C = contacts.pair_i.shape[0]
+    L = max_layers
+    lay = contacts.layer
+    valid = contacts.mask & (lay >= 0) & (lay < L)
+    # flat (layer, particle) addresses; invalid entries get unique
+    # out-of-bounds slots (L*n + slot) so unique_indices holds exactly
+    oob = L * n_particles + jnp.arange(C, dtype=jnp.int32)
+    addr_i = jnp.where(valid, lay * n_particles + contacts.pair_i, oob)
+    addr_j = jnp.where(valid, lay * n_particles + contacts.pair_j, oob)
+    flat_p = jnp.full((L * n_particles,), -1, jnp.int32)
+    flat_p = flat_p.at[addr_i].set(contacts.pair_j, mode="drop",
+                                   unique_indices=True)
+    flat_p = flat_p.at[addr_j].set(contacts.pair_i, mode="drop",
+                                   unique_indices=True)
+    flat_n = jnp.zeros((L * n_particles, 3), contacts.normal.dtype)
+    # stored normal points j -> i (normalized x_i - x_j): row i keeps +n,
+    # row j gets -n so each row's (normal, d) pair is its own perspective
+    flat_n = flat_n.at[addr_i].set(contacts.normal, mode="drop",
+                                   unique_indices=True)
+    flat_n = flat_n.at[addr_j].set(-contacts.normal, mode="drop",
+                                   unique_indices=True)
+    n_layers = jnp.max(jnp.where(valid, lay, -1)) + 1
+    return SelfContactTables(
+        partner=flat_p.reshape(L, n_particles),
+        normal=flat_n.reshape(L, n_particles, 3),
+        n_layers=n_layers.astype(jnp.int32))
+
+
+def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
+                         mass: jnp.ndarray, r_init: jnp.ndarray,
+                         max_layers: int, dry_friction_force,
+                         differentiable: bool = False) -> jnp.ndarray:
+    """Layered Gauss–Seidel self-contact friction on partner tables —
+    identical math to `self_friction` (calculateDryFrictionVector,
+    Simulation.cpp:655-676) but scatter-free: per layer, each particle
+    gathers its unique partner and updates only its own row.
+
+    differentiable=True uses a static fori_loop over the layer cap (the
+    residual is reverse-differentiated and dynamic-bound while_loops have
+    no reverse rule); the forward PD loop early-exits at the populated
+    layer count."""
+    MU_CLOTH = 0.1
+    m_safe = jnp.maximum(mass, 1e-30)
+
+    def apply_layer(r, l):
+        p = tables.partner[l]                       # (n,)
+        has = p >= 0
+        pc = jnp.maximum(p, 0)
+        fr = f + r
+        fhat = fr / m_safe[:, None]
+        d = fhat - fhat[pc]                         # row minus partner
+        k_red = mass * mass[pc] / jnp.maximum(mass + mass[pc], 1e-30)
+        mu = jnp.full(p.shape, MU_CLOTH, f.dtype)
+        r_row = k_red[:, None] * dry_friction_force(tables.normal[l], d, mu)
+        return r + jnp.where(has[:, None], r_row, 0.0)
+
+    if differentiable:
+        return jax.lax.fori_loop(
+            0, max_layers, lambda l, r: apply_layer(r, l), r_init)
+
+    r_out, _ = jax.lax.while_loop(
+        lambda s: s[1] < tables.n_layers,
+        lambda s: (apply_layer(s[0], s[1]), s[1] + 1),
+        (r_init, jnp.asarray(0, jnp.int32)))
+    return r_out
 
 
 def empty_self_contacts(cap_pairs: int, dtype=jnp.float32) -> SelfContactSet:

@@ -111,12 +111,16 @@ def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
 @functools.partial(jax.jit, static_argnames=("k_partners", "interpret"))
 def detect_partners(geom: jnp.ndarray, allowed: jnp.ndarray,
                     k_partners: int = 6,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool | None = None) -> jnp.ndarray:
     """geom: (8, n_pad) f32 (rows x, x+hv, radii, pad); allowed: (n_pad,
     n_pad) int8 upper-triangular admissibility.  Returns (n_pad, 128) int32:
-    cols 0..K-1 partner indices (-1 empty), col K per-row hit count."""
+    cols 0..K-1 partner indices (-1 empty), col K per-row hit count.
+    interpret=None compiles the kernel on TPU backends and falls back to
+    interpret mode elsewhere (CPU tests), decided at trace time."""
     n_pad = geom.shape[1]
     assert n_pad % BJ == 0, n_pad
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_kernel, k_partners=k_partners)
     return pl.pallas_call(
         kernel,
@@ -161,7 +165,7 @@ def detect_self_collisions_pallas(allowed_i8: jnp.ndarray,
                                   radii: jnp.ndarray,
                                   x: jnp.ndarray, v: jnp.ndarray, h: float,
                                   k_partners: int, cap_pairs: int,
-                                  interpret: bool = False):
+                                  interpret: bool | None = None):
     """Full drop-in for selfcol.detect_self_collisions_matrix backed by the
     Pallas kernel.  `allowed_i8` is the (n_pad, n_pad) int8 triu table."""
     from diffcloth_tpu.core.selfcol import SelfContactSet

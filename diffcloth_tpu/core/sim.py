@@ -183,12 +183,21 @@ class ClothSim:
             # the reference enables self-collision for EVERY demo, incl.
             # obstacle-free ones (setWindAncCollision(_, _, true) in all
             # branches of OptimizationTaskSetup.cpp:154-224).  Default
-            # detection is the MXU pairwise-distance method
-            # (selfcol.detect_self_collisions_matrix); the sort-based sweep
-            # takes over past ~10k vertices where the n^2 mask no longer
-            # pays for itself.
+            # detection on TPU is the Pallas streaming kernel: O(n*K)
+            # outputs (vs the matrix method's (B, n, n) HBM transients,
+            # which OOM-crash the chip under large vmap batches) and
+            # measured 4.4x faster at B=32 on v5e with exact pair parity
+            # (tools/detect_experiment.py).  CPU backends keep the XLA
+            # matrix method (Pallas interpret mode is slow); the sort-based
+            # sweep takes over past ~10k vertices where an n^2 admissibility
+            # mask no longer pays for itself.
             if self_method is None:
-                self_method = "matrix" if scene.n <= 10000 else "sweep"
+                if scene.n > 10000:
+                    self_method = "sweep"
+                else:
+                    self_method = ("pallas"
+                                   if jax.default_backend() == "tpu"
+                                   else "matrix")
             allowed = ~scene.conn_table & ~np.eye(scene.n, dtype=bool)
             if self_method in ("matrix", "pallas"):
                 allowed &= np.triu(np.ones_like(allowed), 1)

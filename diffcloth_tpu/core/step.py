@@ -309,7 +309,13 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     def friction(params, contact: ct.ContactSet, selfc, m, f,
                  differentiable=False):
         """Obstacle contacts first (layer 0), then layered self-contact
-        Gauss-Seidel (calculateDryFrictionVector, Simulation.cpp:627-682)."""
+        Gauss-Seidel (calculateDryFrictionVector, Simulation.cpp:627-682).
+
+        `selfc` is a (SelfContactSet, SelfContactTables) pair when
+        self-collision is on; friction runs on the gather-only tables
+        (built once per step) — the pair-list path's per-layer scatter-adds
+        lower to sequential index loops on TPU and dominated the contact
+        step (see selfcol.SelfContactTables)."""
         if not flags.contact_enabled:
             return jnp.zeros_like(f)
         if prims.kind.shape[0] > 0:
@@ -317,9 +323,11 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         else:
             r = jnp.zeros_like(f)
         if use_self:
-            r = sc.self_friction(f, selfc, m, r, self_cfg.max_layers,
-                                 ct.dry_friction_force,
-                                 differentiable=differentiable)
+            _, tables = selfc
+            r = sc.self_friction_tables(f, tables, m, r,
+                                        self_cfg.max_layers,
+                                        ct.dry_friction_force,
+                                        differentiable=differentiable)
         return r
 
     def btilde_of(params, m, f_ext, x_n, v_n, x_eval, x_fixed, y_n=None):
@@ -402,6 +410,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                     self_cfg.allowed, scene.radii, x_n, v_iter0, h,
                     self_cfg.window, self_cfg.cap_pairs)
             selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
+            selfc = (selfc, sc.build_layer_tables(selfc, n,
+                                                  self_cfg.max_layers))
         else:
             selfc = sc.empty_self_contacts(1, x_n.dtype)
 
@@ -491,7 +501,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         avg_def, max_def = _deformation(scene, x_new)
         aux = StepAux(f=f_rec, r=out.r, converged=converged, iters=out.it,
                       avg_deformation=avg_def, max_deformation=max_def,
-                      selfcol_overflow=selfc.overflow)
+                      selfcol_overflow=(selfc[0].overflow if use_self
+                                        else selfc.overflow))
         return x_new, v_new, aux, contact, selfc
 
     # -- custom VJP ---------------------------------------------------------

@@ -67,7 +67,8 @@ def shard_rollout_batch(mesh: Mesh, batch_pytree):
 
 
 def batched_value_and_grad(sim, loss_fn, mesh: Mesh,
-                           reduce_grads: bool = True):
+                           reduce_grads: bool = True,
+                           p_inv_spec: P = P()):
     """Data-parallel episode objective over a population of parameter
     pytrees whose leading axis shards over dp.
 
@@ -75,7 +76,12 @@ def batched_value_and_grad(sim, loss_fn, mesh: Mesh,
     With reduce_grads=True the gradient is psum-averaged over the whole
     batch — the distributed L-BFGS gradient (SURVEY §2.7); otherwise
     per-sample gradients are returned sharded.
-    """
+
+    `p_inv_spec=P("tp")` row-shards the prefactorized P^{-1} over the tp
+    axis — pair it with a sim whose step was built with
+    `solve_fn=make_tp_solve("tp")` so the solve all-gathers the sharded
+    block product (the full dp x tp training step; __graft_entry__'s
+    dryrun_multichip is the reference caller)."""
     from jax import shard_map
 
     def per_sample(params, p_inv):
@@ -93,7 +99,7 @@ def batched_value_and_grad(sim, loss_fn, mesh: Mesh,
 
     fn = shard_map(
         local_block, mesh=mesh,
-        in_specs=(P("dp"), P()),
+        in_specs=(P("dp"), p_inv_spec),
         out_specs=(P("dp"), P() if reduce_grads else P("dp")),
         check_vma=False)
     return jax.jit(fn)

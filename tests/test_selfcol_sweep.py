@@ -162,3 +162,84 @@ def test_pallas_kernel_matches_matrix_interpret():
         jnp.asarray(scp.pack_allowed(allowed)), jnp.full((8,), 0.2),
         x, jnp.zeros_like(x), 0.02, 2, 64, interpret=True)
     assert bool(cs.overflow)
+
+
+def test_table_friction_matches_pairlist_scatter():
+    """The gather-only partner-table friction (the production TPU path)
+    must reproduce the pair-list scatter-add Gauss-Seidel bit-for-bit at
+    f64 tolerance, including Newton's third law (sum of self-friction
+    forces == 0), on layered random contact sets."""
+    from diffcloth_tpu.core import contact as ct
+    rng = np.random.RandomState(3)
+    n = 80
+    x, v, radii, conn = random_config(3, n=n, n_adj=40)
+    radii = jnp.asarray(np.abs(rng.rand(n)) * 0.15 + 0.05)  # denser contacts
+    cand = sc.build_candidate_pairs(conn)
+    cs = sc.detect_self_collisions(jnp.asarray(cand, jnp.int32), radii, x, v,
+                                   0.05, cap_pairs=1024)
+    L = 16
+    cs = sc.assign_layers(cs, n, max_layers=L)
+    assert int(np.asarray(cs.mask).sum()) > 10
+
+    mass = jnp.asarray(rng.rand(n) * 2.0 + 0.1)
+    f = jnp.asarray(rng.randn(n, 3))
+    r0 = jnp.asarray(rng.randn(n, 3) * 0.1)
+
+    r_ref = sc.self_friction(f, cs, mass, r0, L, ct.dry_friction_force)
+    tables = sc.build_layer_tables(cs, n, L)
+    r_tab = sc.self_friction_tables(f, tables, mass, r0, L,
+                                    ct.dry_friction_force)
+    np.testing.assert_allclose(np.asarray(r_tab), np.asarray(r_ref),
+                               rtol=1e-12, atol=1e-14)
+    # third law: the table path's own contributions cancel exactly
+    delta = np.asarray(r_tab - r0)
+    np.testing.assert_allclose(delta.sum(axis=0), 0.0, atol=1e-12)
+
+    # differentiable (fori) path agrees too
+    r_tab_d = sc.self_friction_tables(f, tables, mass, r0, L,
+                                      ct.dry_friction_force,
+                                      differentiable=True)
+    np.testing.assert_allclose(np.asarray(r_tab_d), np.asarray(r_ref),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_pallas_kernel_vmapped_parity_and_overflow():
+    """Pallas detection under vmap (the production batched-rollout call
+    site, now the TPU default) must match the per-sample matrix detector
+    sample by sample, and the per-sample overflow flags must bump
+    independently.  (On-chip equivalent at B=32 on the tshirt mesh:
+    tools/detect_experiment.py — 0 mismatched samples.)"""
+    from diffcloth_tpu.core import selfcol_pallas as scp
+    h = 0.02
+    x0, v0, radii, conn = random_config(5, n=96, n_adj=60)
+    n = 96
+    x0 = jnp.asarray(np.asarray(x0, np.float32))
+    v0 = jnp.asarray(np.asarray(v0, np.float32))
+    radii = jnp.asarray(np.asarray(radii, np.float32))
+    allowed_triu = ((~conn & ~np.eye(n, dtype=bool))
+                    & np.triu(np.ones((n, n), bool), 1))
+    allowed_m = jnp.asarray(allowed_triu)
+    allowed_p = jnp.asarray(scp.pack_allowed(allowed_triu))
+
+    B = 4
+    rng = np.random.RandomState(11)
+    # sample 3 perturbed states + one fully-collapsed state (overflow)
+    xs = np.stack([np.asarray(x0) * s for s in (1.0, 0.7, 1.3)]
+                  + [np.zeros((n, 3))]).astype(np.float32)
+    vs = np.stack([np.asarray(v0)] * 3
+                  + [np.zeros((n, 3))]).astype(np.float32)
+    xs, vs = jnp.asarray(xs), jnp.asarray(vs)
+
+    det_p = jax.jit(jax.vmap(lambda x, v: scp.detect_self_collisions_pallas(
+        allowed_p, radii, x, v, h, 8, 256, interpret=True)))
+    csb = det_p(xs, vs)
+    for b in range(B):
+        cs_b = jax.tree.map(lambda a: a[b], csb)
+        cs_m = sc.detect_self_collisions_matrix(
+            allowed_m, radii, xs[b], vs[b], h, 8, 256)
+        if not bool(cs_m.overflow):
+            assert pairset(cs_b) == pairset(cs_m), b
+        assert bool(cs_b.overflow) == bool(cs_m.overflow), b
+    # the collapsed sample must overflow; the healthy ones must not
+    ovf = np.asarray(csb.overflow)
+    assert bool(ovf[3]) and not ovf[:3].any()

@@ -8,7 +8,13 @@ Measures, on the real TPU chip, for the tshirt flagship scene:
      bench crashed with the matrix detector at B=256; this isolates
      whether that was detector HBM pressure or chip contention.
 
-Usage: python tools/detect_experiment.py [B ...]
+Usage: python tools/detect_experiment.py [--methods m1,m2] [--skip-parity] [B ...]
+
+NOTE a crashed TPU worker poisons the whole process (every later device
+call fails UNAVAILABLE) — run each risky method/batch combination in its
+own process.  Observed on chip (2026-08-20): sweep at B=256 crashes the
+worker (vmapped sorts serialize into minute-long single executions, which
+the remote transport kills); matrix at B=256 is the round-2 HBM blow-up.
 """
 import json
 import os
@@ -30,6 +36,13 @@ def pairset(cs, n):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batches", nargs="*", type=int, default=None)
+    ap.add_argument("--methods", default="matrix,pallas,sweep")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +50,8 @@ def main():
     from diffcloth_tpu.core import selfcol as sc
     from diffcloth_tpu.core import selfcol_pallas as scp
 
-    batches = [int(a) for a in sys.argv[1:]] or [64, 256]
+    batches = args.batches or [64, 256]
+    methods = args.methods.split(",")
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
 
     from diffcloth_tpu.core.sim import ClothSim
@@ -46,12 +60,13 @@ def main():
 
     scene0 = gb.build_scene(TSHIRT_SCENE)
     sims = {}
-    for method in ("matrix", "pallas", "sweep"):
+    for method in dict.fromkeys(["matrix"] * (not args.skip_parity)
+                                + methods):
         t0 = time.time()
         sims[method] = ClothSim(scene0, self_method=method)
         print(f"built sim[{method}] in {time.time() - t0:.1f}s", flush=True)
 
-    sim = sims["matrix"]
+    sim = sims.get("matrix") or sims[methods[0]]
     n = sim.n
     scene = sim.scene_host
     radii = sim.scene_dev.radii
@@ -76,7 +91,8 @@ def main():
         allowed_pal, radii, x, v, h, K, cap))
 
     chosen = None
-    for s in (0.6, 0.45, 0.35, 0.28, 0.22, 0.17, 0.13, 0.1, 0.07, 0.05):
+    for s in () if args.skip_parity else \
+            (0.6, 0.45, 0.35, 0.28, 0.22, 0.17, 0.13, 0.1, 0.07, 0.05):
         xsq = (x0 - c) * np.array([1.0, s, 1.0]) + c
         x_dev = jnp.asarray(xsq, jnp.float32)
         v_dev = jnp.zeros_like(x_dev)
@@ -87,52 +103,56 @@ def main():
         if not ovf and 20 <= n_hit <= cap // 2:
             chosen = s
             break
-    assert chosen is not None, "no squash scale gave a clean contact set"
+    assert args.skip_parity or chosen is not None, \
+        "no squash scale gave a clean contact set"
 
-    cs_m = det_m(x_dev, v_dev)
-    cs_p = det_p(x_dev, v_dev)
-    pm, pp = pairset(cs_m, n), pairset(cs_p, n)
-    print(f"single-state (scale {chosen}): matrix pairs={len(pm)} "
-          f"pallas pairs={len(pp)} overflow m={bool(cs_m.overflow)} "
-          f"p={bool(cs_p.overflow)} equal={pm == pp}", flush=True)
-    assert pm == pp, (len(pm), len(pp), list(pm ^ pp)[:10])
-    assert len(pm) > 0, "squash produced no contacts — test is vacuous"
+    if not args.skip_parity:
+        cs_m = det_m(x_dev, v_dev)
+        cs_p = det_p(x_dev, v_dev)
+        pm, pp = pairset(cs_m, n), pairset(cs_p, n)
+        print(f"single-state (scale {chosen}): matrix pairs={len(pm)} "
+              f"pallas pairs={len(pp)} overflow m={bool(cs_m.overflow)} "
+              f"p={bool(cs_p.overflow)} equal={pm == pp}", flush=True)
+        assert pm == pp, (len(pm), len(pp), list(pm ^ pp)[:10])
+        assert len(pm) > 0, "squash produced no contacts — test is vacuous"
 
-    # --- vmap parity at B=32 ----------------------------------------------
-    B = 32
-    rng = np.random.RandomState(0)
-    scales = chosen * (0.9 + 0.4 * rng.rand(B))
-    xs = np.stack([(x0 - c) * np.array([1.0, s, 1.0]) + c for s in scales])
-    xs_dev = jnp.asarray(xs, jnp.float32)
-    vs_dev = jnp.zeros_like(xs_dev)
-    t0 = time.time()
-    csb_m = jax.jit(jax.vmap(det_m))(xs_dev, vs_dev)
-    jax.block_until_ready(csb_m.mask)
-    t_m = time.time() - t0
-    t0 = time.time()
-    csb_p = jax.jit(jax.vmap(det_p))(xs_dev, vs_dev)
-    jax.block_until_ready(csb_p.mask)
-    t_p = time.time() - t0
-    n_diff = 0
-    for b in range(B):
-        sm = pairset(jax.tree.map(lambda a: a[b], csb_m), n)
-        sp = pairset(jax.tree.map(lambda a: a[b], csb_p), n)
-        if sm != sp:
-            n_diff += 1
-    print(f"vmap B={B} parity: mismatched samples={n_diff} "
-          f"(compile+run matrix {t_m:.1f}s pallas {t_p:.1f}s)", flush=True)
-    assert n_diff == 0
-
-    # warm detection timing at B=32
-    for name, det in (("matrix", det_m), ("pallas", det_p)):
-        f = jax.jit(jax.vmap(det))
-        f(xs_dev, vs_dev).mask.block_until_ready()
+        # --- vmap parity at B=32 -------------------------------------------
+        B = 32
+        rng = np.random.RandomState(0)
+        scales = chosen * (0.9 + 0.4 * rng.rand(B))
+        xs = np.stack([(x0 - c) * np.array([1.0, s, 1.0]) + c
+                       for s in scales])
+        xs_dev = jnp.asarray(xs, jnp.float32)
+        vs_dev = jnp.zeros_like(xs_dev)
         t0 = time.time()
-        for _ in range(10):
-            out = f(xs_dev, vs_dev)
-        out.mask.block_until_ready()
-        print(f"  detection-only B={B} {name}: "
-              f"{(time.time() - t0) / 10 * 1e3:.2f} ms/call", flush=True)
+        csb_m = jax.jit(jax.vmap(det_m))(xs_dev, vs_dev)
+        jax.block_until_ready(csb_m.mask)
+        t_m = time.time() - t0
+        t0 = time.time()
+        csb_p = jax.jit(jax.vmap(det_p))(xs_dev, vs_dev)
+        jax.block_until_ready(csb_p.mask)
+        t_p = time.time() - t0
+        n_diff = 0
+        for b in range(B):
+            sm = pairset(jax.tree.map(lambda a: a[b], csb_m), n)
+            sp = pairset(jax.tree.map(lambda a: a[b], csb_p), n)
+            if sm != sp:
+                n_diff += 1
+        print(f"vmap B={B} parity: mismatched samples={n_diff} "
+              f"(compile+run matrix {t_m:.1f}s pallas {t_p:.1f}s)",
+              flush=True)
+        assert n_diff == 0
+
+        # warm detection timing at B=32
+        for name, det in (("matrix", det_m), ("pallas", det_p)):
+            f = jax.jit(jax.vmap(det))
+            f(xs_dev, vs_dev).mask.block_until_ready()
+            t0 = time.time()
+            for _ in range(10):
+                out = f(xs_dev, vs_dev)
+            out.mask.block_until_ready()
+            print(f"  detection-only B={B} {name}: "
+                  f"{(time.time() - t0) / 10 * 1e3:.2f} ms/call", flush=True)
 
     # --- rollout throughput per method -------------------------------------
     from bench import forward_throughput
@@ -141,7 +161,7 @@ def main():
         wind=jnp.array([0.04, 0.004, 0.04], jnp.float32),
         wind_freq=jnp.asarray(10.0, jnp.float32),
         wind_phase=jnp.asarray(0.5, jnp.float32))
-    for method in ("sweep", "pallas", "matrix"):
+    for method in methods:
         s = sims[method]
         p_inv = s.p_inv(base)
         xfs = s.x_fixed_seq(base)
