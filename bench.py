@@ -153,7 +153,13 @@ def main():
     p_inv = sim.p_inv(base)
     xfs = sim.x_fixed_seq(base)
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # Default batch: 64.  With self-collision detection on (the reference's
+    # configuration) the vmapped contact program compiles in ~2 min at B=64
+    # but the axon remote compile does not return within 25 min at B>=128
+    # (round-3 on-chip bisection; round 2's B=256 bench died the same way
+    # plus a matrix-detector HBM blowup).  Override via argv for bigger
+    # chips/toolchains.
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     steps_per_sec, conv_frac, mean_iters, iters_per_sec = \
         forward_throughput(sim, base, p_inv, xfs, B)
 
