@@ -17,9 +17,11 @@ VMEM and keeps only O(n * K) outputs:
   output: partners (n, 128) int32 — cols 0..K-1 = partner indices (-1 =
     empty), col K = per-row hit count (> K  =>  overflow, bump K)
 
-Tiles are large (256 x 512) so a vmapped batch costs few sequential grid
-steps (TPU grids serialize; small tiles made the batched kernel
-dispatch-bound).
+Tiles are large (512 x 512) so a vmapped batch costs few sequential grid
+steps: TPU grids serialize and each grid step carries ~10 us of fixed
+overhead regardless of tile work (measured on v5e — the no-hit detection
+cost tracked grid-step count, not element count), so the tile size is
+bounded by VMEM, not FLOPs.
 
 The swept-contact semantics are the reference's exactly (min distance over
 the step below summed radii — Simulation.cpp:194-219 with its tMid == t0
@@ -39,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BI = 256          # rows per tile
+BI = 512          # rows per tile (must divide n_pad = round_up(n, BJ))
 BJ = 512          # cols per tile (n_pad is a multiple of BJ)
 SLOT_COLS = 128   # output layout: K partner cols + count col, padded
 
@@ -50,9 +52,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
             k_partners: int):
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
-    nbj = pl.num_programs(1)
+    bi = pl.program_id(1)
+    bj = pl.program_id(2)
+    nbj = pl.num_programs(2)
 
     @pl.when(bj == 0)
     def _init():
@@ -63,8 +65,8 @@ def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
     @pl.when(bj * BJ + BJ > bi * BI)
     def _compute():
         # geometry tiles: geom rows 0-2 = x, 3-5 = x + h v, 6 = radii
-        gi = geom_ref[:, pl.ds(bi * BI, BI)]            # (8, BI)
-        gj = geom_ref[:, pl.ds(bj * BJ, BJ)]            # (8, BJ)
+        gi = geom_ref[0, :, pl.ds(bi * BI, BI)]         # (8, BI)
+        gj = geom_ref[0, :, pl.ds(bj * BJ, BJ)]         # (8, BJ)
 
         def pair_d2(row0):
             d2 = jnp.zeros((BI, BJ), jnp.float32)
@@ -104,11 +106,71 @@ def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
     @pl.when(bj == nbj - 1)
     def _flush():
         kcol = jax.lax.broadcasted_iota(jnp.int32, (BI, SLOT_COLS), 1)
-        out_ref[:] = jnp.where(kcol == k_partners,
+        out_ref[0] = jnp.where(kcol == k_partners,
                                count_ref[:, 0:1], slots_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("k_partners", "interpret"))
+def _detect_partners_grid(geom_b: jnp.ndarray, allowed: jnp.ndarray,
+                          k_partners: int, interpret: bool) -> jnp.ndarray:
+    """Natively batched kernel launch: geom_b (B, 8, n_pad) -> (B, n_pad,
+    SLOT_COLS).  The batch is the SLOWEST grid dimension — one kernel, one
+    compile, any B.  (Routing vmap through jax's default pallas batching
+    instead made XLA's remote compile blow up super-linearly in B: B=64
+    compiled in ~2 min, B>=128 did not return within 25 min on v5e.)"""
+    B, _, n_pad = geom_b.shape
+    assert n_pad % BJ == 0 and n_pad % BI == 0, n_pad
+    kernel = functools.partial(_kernel, k_partners=k_partners)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_pad // BI, n_pad // BJ),
+        in_specs=[
+            pl.BlockSpec((1, 8, n_pad), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BI, BJ), lambda b, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BI, SLOT_COLS), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, SLOT_COLS), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BI, SLOT_COLS), jnp.int32),   # partner slots
+            pltpu.VMEM((BI, SLOT_COLS), jnp.int32),   # per-row count (col 0)
+        ],
+        interpret=interpret,
+    )(geom_b, allowed)
+
+
+_DETECT_CACHE: dict = {}
+
+
+def _detect_partners_fn(k_partners: int, interpret: bool):
+    """custom_vmap wrapper, cached per (K, interpret): the single-sample
+    call runs the grid kernel at B=1; a vmapped call is rewritten to the
+    SAME kernel with the batch as the leading grid dimension."""
+    key = (k_partners, interpret)
+    fn = _DETECT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.custom_batching.custom_vmap
+    def detect(geom, allowed):
+        return _detect_partners_grid(geom[None], allowed, k_partners,
+                                     interpret)[0]
+
+    @detect.def_vmap
+    def _rule(axis_size, in_batched, geom_b, allowed_b):
+        geom_batched, allowed_batched = in_batched
+        assert geom_batched and not allowed_batched, (
+            "detect_partners batches over geometry only; the admissibility "
+            "table is per-topology")
+        out = _detect_partners_grid(geom_b, allowed_b, k_partners,
+                                    interpret)
+        return out, True
+
+    _DETECT_CACHE[key] = detect
+    return detect
+
+
 def detect_partners(geom: jnp.ndarray, allowed: jnp.ndarray,
                     k_partners: int = 6,
                     interpret: bool | None = None) -> jnp.ndarray:
@@ -116,30 +178,12 @@ def detect_partners(geom: jnp.ndarray, allowed: jnp.ndarray,
     n_pad) int8 upper-triangular admissibility.  Returns (n_pad, 128) int32:
     cols 0..K-1 partner indices (-1 empty), col K per-row hit count.
     interpret=None compiles the kernel on TPU backends and falls back to
-    interpret mode elsewhere (CPU tests), decided at trace time."""
-    n_pad = geom.shape[1]
-    assert n_pad % BJ == 0, n_pad
+    interpret mode elsewhere (CPU tests), decided at trace time.
+    vmap-compatible: batched calls run one natively-batched kernel (batch =
+    slowest grid dimension) via a custom_vmap rule."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(_kernel, k_partners=k_partners)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_pad // BI, n_pad // BJ),
-        in_specs=[
-            pl.BlockSpec((8, n_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BI, BJ), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BI, SLOT_COLS), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, SLOT_COLS), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((BI, SLOT_COLS), jnp.int32),   # partner slots
-            pltpu.VMEM((BI, SLOT_COLS), jnp.int32),   # per-row count (col 0)
-        ],
-        interpret=interpret,
-    )(geom, allowed)
+    return _detect_partners_fn(k_partners, interpret)(geom, allowed)
 
 
 def build_geom(x: jnp.ndarray, v: jnp.ndarray, radii: jnp.ndarray,
