@@ -94,14 +94,21 @@ def lower_leg_entries(center, axis, leg_length=5.0, foot_length=4.0,
     ], dict(knee=knee, rot_leg=rot_leg, rot_foot=rot_foot, radius=radius)
 
 
-def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
-    """Obstacle placement per scene (initScene, Simulation.cpp:1804-1990)."""
+def _make_primitives(scene: gb.Scene, dtype):
+    """Obstacle placement per scene (initScene, Simulation.cpp:1804-1990).
+
+    Returns (PrimitiveSet on device, host entry dicts).  Task setup reads
+    geometry from the HOST entries — reading it back off the device is a
+    pointless round-trip that can wedge on flaky remote-TPU transports
+    (observed: a 3-float transfer hanging indefinitely during sock
+    setup)."""
     cfg = scene.cfg
     pc = cfg.primitive_config
     lo, hi = scene.rest_min, scene.rest_max
 
     def mk(kind, center, **kw):
-        return _prim_struct([dict(kind=kind, center=center, **kw)], dtype)
+        entries = [dict(kind=kind, center=center, **kw)]
+        return _prim_struct(entries, dtype), entries
 
     center_low = 0.5 * (lo + hi)
     center_low = np.array([center_low[0], lo[1], center_low[2]])
@@ -109,7 +116,7 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
     center_high = np.array([center_high[0], hi[1], center_high[2]])
 
     if pc == PrimitiveConfig.NONE:
-        return ct.empty_primitive_set(dtype)
+        return ct.empty_primitive_set(dtype), []
     if pc == PrimitiveConfig.PLANE_AND_SPHERE:
         # rotating-sphere demo: only sphere2 (r=2) is a contact primitive
         # (Simulation.cpp:1826-1829, 1894-1903); sphere sits below the cloth
@@ -145,7 +152,7 @@ def _make_primitives(scene: gb.Scene, dtype) -> ct.PrimitiveSet:
         center = center_high + np.array([0.0, 3.0, -4.0])  # :1922
         entries, _ = lower_leg_entries(
             center, np.asarray(cfg.sock_leg_orientation), 5.0, 4.0, mu=0.0)
-        return _prim_struct(entries, dtype)
+        return _prim_struct(entries, dtype), entries
     if pc == PrimitiveConfig.Y0PLANE:
         return mk(ct.P_BOWL, (0, 0.5, 0), radius=0.5, mu=0.0)
     raise NotImplementedError(pc)
@@ -161,7 +168,7 @@ def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,
     task = registry.DEMOS[demo]
     cfg = task.scene
     scene = gb.build_scene(cfg)
-    prims = _make_primitives(scene, dtype)
+    prims, prim_entries = _make_primitives(scene, dtype)
     spline_type = SplineType.ENDPOINT
     if demo in ("hat", "sock"):
         # resetSplineConfigsForControlTasks (OptimizationTaskSetup.cpp:38-46)
@@ -249,8 +256,8 @@ def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,
         # DEMO_WEAR_HAT (:196-203, :56-72): optimize spline control points;
         # target = hat translated onto the bust
         mask = GradMask(control_points=True)
-        head_center = np.asarray(prims.center[0], np.float64)
-        head_radius = float(prims.radius[0])
+        head_center = np.asarray(prim_entries[0]["center"], np.float64)
+        head_radius = float(prim_entries[0]["radius"])
         bust_center = head_center + np.array([0, head_radius * 0.6, 0])
         hat_center = 0.5 * (scene.rest_min + scene.rest_max)
         translation = bust_center - hat_center
@@ -270,7 +277,7 @@ def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,
         # DEMO_WEAR_SOCK (:196-203, :75-125): optimize spline control
         # points; ASSISTED_DRESSING_KEYPOINTS on foot/leg anatomy
         mask = GradMask(control_points=True)
-        center = np.asarray(prims.center[1], np.float64)  # foot base
+        center = np.asarray(prim_entries[1]["center"], np.float64)  # foot base
         _, geo = lower_leg_entries(center,
                                    np.asarray(cfg.sock_leg_orientation))
         leg_len, foot_len, r = 5.0, 4.0, geo["radius"]
