@@ -74,7 +74,12 @@ def lower_leg_entries(center, axis, leg_length=5.0, foot_length=4.0,
     axis = np.asarray(axis, np.float64)
     axis = axis / np.linalg.norm(axis)
     radius = 0.8
+    # foot capsule: rotationFromParent == globalRotation == R(y -> axis)
+    # (Capsule ctor, Primitive.cpp:450-472 with parentAxis = (0,1,0))
     rot_foot = gb.axis_to_rotation(axis, np.array([0.0, 1.0, 0.0]))
+    # leg capsule: rotationFromParent = R(y -> legLocalAxis); globalAxis =
+    # rotationFromParent @ parentAxis(= foot axis); globalRotation =
+    # R(y -> globalAxis)
     leg_local_axis = np.array([0.0, 0.7, 0.3])
     rot_from_parent = gb.axis_to_rotation(
         leg_local_axis / np.linalg.norm(leg_local_axis),
@@ -82,7 +87,13 @@ def lower_leg_entries(center, axis, leg_length=5.0, foot_length=4.0,
     leg_global_axis = rot_from_parent @ axis
     rot_leg = gb.axis_to_rotation(leg_global_axis,
                                   np.array([0.0, 1.0, 0.0]))
-    knee = rot_from_parent @ np.array([0.0, foot_length, 0.0])
+    # the knee (leg anchor + joint sphere) sits at the END of the FOOT
+    # capsule: legCenter = foot.rotationFromParent @ (0, footLength, 0)
+    # (LowerLeg ctor, Primitive.cpp:397-402).  Round 1-2 wrongly used the
+    # LEG's rotationFromParent here, displacing the knee, the whole leg
+    # capsule, and every leg keypoint by ~1.6 units — the root cause of
+    # the sock optimization plateau (unreachable keypoint targets).
+    knee = rot_foot @ np.array([0.0, foot_length, 0.0])
     center = np.asarray(center, np.float64)
     return [
         dict(kind=ct.P_SPHERE, center=center + knee, radius=radius + 0.05,
