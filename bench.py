@@ -12,23 +12,22 @@ carried on device between calls): identical math to one whole-episode scan,
 but each XLA execution stays short, which keeps the remote-TPU transport
 happy and costs <1% in dispatch overhead.
 
-Prints exactly one JSON line:
+Prints exactly ONE JSON line to stdout (progress goes to stderr), emitted
+IMMEDIATELY after the forward measurement so the driver's parse succeeds
+regardless of what happens later:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-extra rows (each skipped gracefully on failure; set DIFFCLOTH_BENCH_FAST=1
-to skip them all):
-  backward_vg_steps_per_sec  — chunked episode value_and_grad, batch 64
-                               (baseline backward: 94 steps/s, BASELINE.md)
-  f64_cpu_eps1e8_steps_per_sec — OUR engine at the reference's exact
-                               tolerance/precision on the reference's
-                               hardware class (subprocess, CPU f64)
-  f32_vs_f64_traj_rmse       — per-vertex RMSE of the f32 TPU trajectory vs
-                               the f64 eps=1e-8 trajectory at step 125 & 250
-                               (the matched-convergence evidence)
-  model_tflops_per_sec, mfu_pct — matmul-only model FLOPs of the PD
-                               iteration; MFU counts the 3 bf16 MXU passes
-                               an f32 HIGHEST matmul costs on v5e
-                               (peak 197 TFLOP/s bf16)
+The expensive companion measurements (backward value_and_grad throughput,
+our engine at the reference's exact f64/eps=1e-8 configuration on CPU, and
+the f32-vs-f64 trajectory RMSE — the matched-convergence evidence) are NOT
+run by default: round-3's driver bench timed out (rc=124) because they
+serialized behind the headline.  Run them standalone with
+
+    DIFFCLOTH_BENCH_EXTRAS=1 python bench.py
+
+which appends results to output/bench_extras.json; a later default run
+splices that file into the headline's "extra.precomputed" field (labeled
+with its timestamp) so the driver-captured JSON still carries them.
 """
 import json
 import os
@@ -42,6 +41,19 @@ BASELINE_STEPS_PER_SEC = 6.1      # reference forwardLog.txt Record 0
 BASELINE_BWD_STEPS_PER_SEC = 94.0  # reference backwardLog.txt Record 0
 V5E_BF16_PEAK = 197e12
 CHUNK = 25
+T_START = time.time()
+BUDGET = float(os.environ.get("DIFFCLOTH_BENCH_BUDGET", "1800"))
+EXTRAS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "output", "bench_extras.json")
+
+
+def log(msg):
+    print(f"[bench +{time.time() - T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def remaining():
+    return BUDGET - (time.time() - T_START)
 
 
 def model_flops_per_iter(sim):
@@ -98,6 +110,7 @@ def forward_throughput(sim, base, p_inv, xfs, B):
         return jax.block_until_ready(x), conv_total, iters_total
 
     xN, conv, iters = episode()      # compile
+    log("forward compiled + warm episode done")
     t0 = time.time()
     xN, conv, iters = episode()
     elapsed = time.time() - t0
@@ -129,6 +142,7 @@ def backward_throughput(sim, base, B=64):
 
     L, g = vg(params_b)                 # compile
     jax.block_until_ready(L)
+    log("backward compiled + warm episode done")
     t0 = time.time()
     L, g = vg(params_b)
     jax.block_until_ready(L)
@@ -138,13 +152,96 @@ def backward_throughput(sim, base, B=64):
     return B * sim.n_steps / elapsed
 
 
+def load_extras():
+    try:
+        with open(EXTRAS_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def run_extras(sim, base):
+    """The expensive companion rows, each guarded by the wall-clock budget
+    and appended to output/bench_extras.json as it lands (skip, don't
+    block — VERDICT r3)."""
+    extras = load_extras() or {}
+    extras["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+
+    def save():
+        os.makedirs(os.path.dirname(EXTRAS_PATH), exist_ok=True)
+        with open(EXTRAS_PATH, "w") as f:
+            json.dump(extras, f, indent=1)
+
+    if remaining() > 240:
+        try:
+            log("extras: backward throughput (B=64)")
+            bwd = backward_throughput(sim, base)
+            extras["backward_vg_steps_per_sec"] = round(bwd, 1)
+            extras["backward_vs_baseline"] = round(
+                bwd / BASELINE_BWD_STEPS_PER_SEC, 1)
+        except Exception as e:
+            extras["backward_error"] = repr(e)[:200]
+        save()
+    else:
+        log("extras: skipping backward (budget)")
+
+    npz = "/tmp/bench_f64_traj.npz"
+    if remaining() > 300:
+        try:
+            log("extras: f64 CPU eps=1e-8 subprocess")
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "bench_f64_cpu.py"), npz],
+                capture_output=True, text=True,
+                timeout=max(60, remaining() - 120))
+            row = json.loads(out.stdout.strip().splitlines()[-1])
+            extras["f64_cpu_eps1e8_steps_per_sec"] = row["steps_per_sec"]
+            extras["f64_cpu_mean_iters"] = row["mean_iters"]
+            extras["f64_cpu_converged_frac"] = row["converged_frac"]
+        except Exception as e:
+            extras["f64_row_error"] = repr(e)[:200]
+        save()
+    else:
+        log("extras: skipping f64 row (budget)")
+
+    if os.path.exists(npz) and remaining() > 120:
+        try:
+            import jax
+            log("extras: f32 single-rollout trajectory for RMSE")
+            recs = sim.rollout_chunked(base, chunk=CHUNK)
+            x32 = np.asarray(recs.steps.x, np.float64)
+            x64 = np.load(npz)["x"]
+            rmse = np.sqrt(np.mean((x32 - x64) ** 2, axis=(1, 2)))
+            extras["f32_vs_f64_traj_rmse_step125"] = float(
+                np.round(rmse[124], 6))
+            extras["f32_vs_f64_traj_rmse_step250"] = float(
+                np.round(rmse[-1], 6))
+        except Exception as e:
+            extras["rmse_error"] = repr(e)[:200]
+        save()
+    log(f"extras written to {EXTRAS_PATH}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as entrymod
 
-    fast = os.environ.get("DIFFCLOTH_BENCH_FAST", "") == "1"
+    # persistent compilation cache: the batched contact program costs
+    # minutes of (remote) XLA compile time; cache hits on an unchanged
+    # program make repeat runs start in seconds
+    try:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/diffcloth_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        log(f"compilation cache at {cache_dir}")
+    except Exception as e:
+        log(f"compilation cache unavailable: {e!r}")
+
+    want_extras = os.environ.get("DIFFCLOTH_BENCH_EXTRAS", "") == "1"
+    log("building flagship sim")
     sim = entrymod._flagship_sim()
     base = sim.default_params()._replace(
         wind=jnp.array([0.04, 0.004, 0.04], jnp.float32),
@@ -160,6 +257,7 @@ def main():
     # plus a matrix-detector HBM blowup).  Override via argv for bigger
     # chips/toolchains.
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    log(f"forward throughput B={B} (compile ~2 min)")
     steps_per_sec, conv_frac, mean_iters, iters_per_sec = \
         forward_throughput(sim, base, p_inv, xfs, B)
 
@@ -173,42 +271,13 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["mfu_error"] = repr(e)[:200]
 
-    if not fast:
-        # backward-pass benchmark
-        try:
-            extra["backward_vg_steps_per_sec"] = round(
-                backward_throughput(sim, base), 1)
-            extra["backward_vs_baseline"] = round(
-                extra["backward_vg_steps_per_sec"]
-                / BASELINE_BWD_STEPS_PER_SEC, 1)
-        except Exception as e:
-            extra["backward_error"] = repr(e)[:200]
+    pre = load_extras()
+    if pre:
+        # companion rows measured standalone (DIFFCLOTH_BENCH_EXTRAS=1) on
+        # this machine; spliced in so the driver-captured line carries them
+        extra["precomputed"] = pre
 
-        # matched-convergence f64 CPU row (subprocess; CPU forced there)
-        try:
-            npz = "/tmp/bench_f64_traj.npz"
-            out = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), "bench_f64_cpu.py"), npz],
-                capture_output=True, text=True, timeout=1200)
-            row = json.loads(out.stdout.strip().splitlines()[-1])
-            extra["f64_cpu_eps1e8_steps_per_sec"] = row["steps_per_sec"]
-            extra["f64_cpu_mean_iters"] = row["mean_iters"]
-            extra["f64_cpu_converged_frac"] = row["converged_frac"]
-
-            # f32 TPU single-rollout trajectory vs the f64 eps=1e-8 one
-            # (chunked: no monolithic full-horizon executions on chip)
-            recs = sim.rollout_chunked(base, chunk=CHUNK)
-            x32 = np.asarray(recs.steps.x, np.float64)
-            x64 = np.load(npz)["x"]
-            rmse = np.sqrt(np.mean((x32 - x64) ** 2, axis=(1, 2)))
-            extra["f32_vs_f64_traj_rmse_step125"] = float(
-                np.round(rmse[124], 6))
-            extra["f32_vs_f64_traj_rmse_step250"] = float(
-                np.round(rmse[-1], 6))
-        except Exception as e:
-            extra["f64_row_error"] = repr(e)[:200]
-
+    # the ONE stdout JSON line, printed before any optional extra work
     print(json.dumps({
         "metric": "batched_pd_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
@@ -217,7 +286,10 @@ def main():
                 % (B, conv_frac, mean_iters),
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
         "extra": extra,
-    }))
+    }), flush=True)
+
+    if want_extras:
+        run_extras(sim, base)
 
 
 if __name__ == "__main__":

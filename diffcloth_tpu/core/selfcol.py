@@ -411,6 +411,15 @@ def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
     return r_out
 
 
+def empty_layer_tables(n_particles: int, max_layers: int,
+                       dtype=jnp.float32) -> SelfContactTables:
+    """All-empty partner tables (profiling ablations / no-contact paths)."""
+    return SelfContactTables(
+        partner=jnp.full((max_layers, n_particles), -1, jnp.int32),
+        normal=jnp.zeros((max_layers, n_particles, 3), dtype),
+        n_layers=jnp.asarray(0, jnp.int32))
+
+
 def empty_self_contacts(cap_pairs: int, dtype=jnp.float32) -> SelfContactSet:
     return SelfContactSet(
         pair_i=jnp.zeros((cap_pairs,), jnp.int32),

@@ -101,6 +101,7 @@ class ClothSim:
                  solve_fn=None, self_cap_pairs: Optional[int] = None,
                  self_max_layers: int = 16, self_window: int = 48,
                  self_method: Optional[str] = None, self_k_partners: int = 6,
+                 self_ablate: str = "",
                  dense_ops: Optional[bool] = None,
                  sparse_ops: Optional[bool] = None,
                  solve_mode: Optional[str] = None,
@@ -211,7 +212,8 @@ class ClothSim:
             self_cfg = step_mod.SelfColConfig(
                 allowed=allowed_dev, method=self_method,
                 window=window, k_partners=self_k_partners,
-                cap_pairs=cap, max_layers=self_max_layers)
+                cap_pairs=cap, max_layers=self_max_layers,
+                ablate=self_ablate)
         self.self_cfg = self_cfg
 
         # dense MXU constraint operators: default on up to a size where the

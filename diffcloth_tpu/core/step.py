@@ -65,6 +65,15 @@ class SelfColConfig(NamedTuple):
     k_partners: int
     cap_pairs: int
     max_layers: int
+    # build-time profiling knob (tools/step_profile.py):
+    #   ''            — full pipeline (production)
+    #   'nofric'      — detection + layering + tables built every step but
+    #                   self-friction never applied (isolates the
+    #                   per-PD-iteration friction cost)
+    #   'detect_only' — detection runs every step (kept live through the
+    #                   overflow flag); layering/tables/friction skipped
+    # Ablated steps are NOT physical — profiling only.
+    ablate: str = ""
 
 
 def _gmres_cycle(op, b, x0, m: int):
@@ -322,7 +331,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             r = ct.obstacle_friction(f, contact, m, params.mu)
         else:
             r = jnp.zeros_like(f)
-        if use_self:
+        if use_self and self_cfg.ablate == "":
             _, tables = selfc
             r = sc.self_friction_tables(f, tables, m, r,
                                         self_cfg.max_layers,
@@ -409,9 +418,13 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 selfc = sc.detect_self_collisions_sweep(
                     self_cfg.allowed, scene.radii, x_n, v_iter0, h,
                     self_cfg.window, self_cfg.cap_pairs)
-            selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
-            selfc = (selfc, sc.build_layer_tables(selfc, n,
-                                                  self_cfg.max_layers))
+            if self_cfg.ablate == "detect_only":
+                selfc = (selfc, sc.empty_layer_tables(n, self_cfg.max_layers,
+                                                      x_n.dtype))
+            else:
+                selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
+                selfc = (selfc, sc.build_layer_tables(selfc, n,
+                                                      self_cfg.max_layers))
         else:
             selfc = sc.empty_self_contacts(1, x_n.dtype)
 

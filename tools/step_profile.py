@@ -1,15 +1,19 @@
-"""On-chip cost bisection for the batched contact step (round-3 #1).
+"""On-chip cost bisection for the batched contact step.
 
 Round 1 (self-collision off) ran B=256 at 5457 steps/s; with detection on,
-B=64 runs at ~237 steps/s and B=256 crashes the TPU worker regardless of
-detector.  One mode per process (a crashed worker poisons the process):
+B=64 runs at ~450 steps/s.  This tool isolates where contact time goes.
+One mode per process (a crashed worker poisons the process):
 
-  full     — chunked rollout throughput, self-collision ON (default method)
-  noself   — same with self_collision_enabled=False (round-1 shape)
-  detect   — detection+assign_layers only, per-call wall time at B
-  nofric   — detection on, but friction force zeroed (isolates the layered
-             Gauss-Seidel + the extra per-iteration AtA apply)
-  layers1  — self-collision on with max_layers=1
+  full        — chunked rollout throughput, self-collision ON (production)
+  noself      — same with self_collision_enabled=False (round-1 shape)
+  nofric      — detection + layering + tables built each step, but the
+                self-friction force is never applied (REAL build-time
+                ablation via SelfColConfig.ablate — the round-3 monkey-patch
+                variant measured nothing, see ADVICE r3)
+  detectonly  — detection runs each step; layering/tables/friction skipped
+  layers1     — self-collision on with max_layers=1
+  detect      — detection pipeline stage timings at B (kernel / +extract /
+                +assign_layers / +tables), contact-rich squashed states
 
 Usage: python tools/step_profile.py --mode full --B 64
 """
@@ -27,7 +31,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="full",
-                    choices=["full", "noself", "detect", "nofric", "layers1"])
+                    choices=["full", "noself", "detect", "nofric",
+                             "detectonly", "layers1"])
     ap.add_argument("--B", type=int, default=64)
     ap.add_argument("--chunks", type=int, default=10,
                     help="number of 25-step chunks to run (250 = full ep)")
@@ -55,10 +60,15 @@ def main():
                                self_collision_enabled=False)
     if args.mode == "layers1":
         kw["self_max_layers"] = 1
+    if args.mode == "nofric":
+        kw["self_ablate"] = "nofric"
+    if args.mode == "detectonly":
+        kw["self_ablate"] = "detect_only"
     t0 = time.time()
     sim = ClothSim(scene, **kw)
     print(f"sim built in {time.time() - t0:.0f}s "
-          f"(method={getattr(sim.self_cfg, 'method', None)})", flush=True)
+          f"(method={getattr(sim.self_cfg, 'method', None)} "
+          f"ablate={getattr(sim.self_cfg, 'ablate', None)})", flush=True)
 
     base = sim.default_params()._replace(
         wind=jnp.array([0.04, 0.004, 0.04], jnp.float32),
@@ -82,54 +92,62 @@ def main():
         x = jnp.asarray(xs, jnp.float32)
         v = jnp.zeros_like(x)
 
-        def det(xb, vb):
+        def detect_set(xb, vb):
             if cfg.method == "pallas":
-                cs = scp.detect_self_collisions_pallas(
+                return scp.detect_self_collisions_pallas(
                     cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
                     cfg.k_partners, cfg.cap_pairs)
-            else:
-                cs = sc.detect_self_collisions_matrix(
-                    cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
-                    cfg.k_partners, cfg.cap_pairs)
+            return sc.detect_self_collisions_matrix(
+                cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
+                cfg.k_partners, cfg.cap_pairs)
+
+        stages = {}
+        if cfg.method == "pallas":
+            n_pad = cfg.allowed.shape[0]
+
+            def kernel_only(xb, vb):
+                geom = scp.build_geom(xb, vb, sim.scene_dev.radii, sim.h,
+                                      n_pad)
+                tbl = scp.detect_partners(geom, cfg.allowed, cfg.k_partners)
+                return tbl.sum()
+            stages["kernel"] = kernel_only
+
+        def extract(xb, vb):
+            cs = detect_set(xb, vb)
+            return cs.mask.sum(), cs.overflow
+        stages["extract"] = extract
+
+        def layered(xb, vb):
+            cs = detect_set(xb, vb)
             cs = sc.assign_layers(cs, sim.n, cfg.max_layers)
             return cs.mask.sum(), cs.overflow
+        stages["layers"] = layered
 
-        f = jax.jit(jax.vmap(det))
-        out = f(x, v)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        N_CALLS = 20
-        for _ in range(N_CALLS):
-            out = f(x, v)
-        jax.block_until_ready(out)
-        ms = (time.time() - t0) / N_CALLS * 1e3
-        print(json.dumps({"mode": "detect", "B": B,
-                          "method": cfg.method,
-                          "ms_per_call": round(ms, 2),
-                          "ms_per_episode_250": round(ms * 250, 0)}),
-              flush=True)
+        def tabled(xb, vb):
+            cs = detect_set(xb, vb)
+            cs = sc.assign_layers(cs, sim.n, cfg.max_layers)
+            tb = sc.build_layer_tables(cs, sim.n, cfg.max_layers)
+            return cs.mask.sum(), tb.n_layers
+        stages["tables"] = tabled
+
+        out = {"mode": "detect", "B": B, "method": cfg.method}
+        for name, fn in stages.items():
+            f = jax.jit(jax.vmap(fn))
+            r = f(x, v)
+            jax.block_until_ready(r)
+            t0 = time.time()
+            N_CALLS = 20
+            for _ in range(N_CALLS):
+                r = f(x, v)
+            jax.block_until_ready(r)
+            out[f"ms_{name}"] = round((time.time() - t0) / N_CALLS * 1e3, 2)
+        print(json.dumps(out), flush=True)
         return
 
     # truncate the horizon to chunks*CHUNK for faster bisection
     sim.n_steps = min(sim.n_steps, args.chunks * CHUNK)
     p_inv = sim.p_inv(base)
     xfs = sim.x_fixed_seq(base)
-
-    if args.mode == "nofric":
-        # rebuild the step with friction zeroed via mu=0 for obstacles and
-        # monkey-patched self_friction
-        from diffcloth_tpu.core import selfcol as sc
-        orig = sc.self_friction
-        sc.self_friction = lambda f, c, m, r, ml, dff, **k: r
-        from diffcloth_tpu.core import step as step_mod
-        sim.step, sim.residual = step_mod.make_step(
-            sim.scene_dev, sim.stage_dev, sim.prims, h=sim.h,
-            wind_config=sim.cfg.wind_config, flags=sim.flags,
-            eps_forward=sim.eps_forward, eps_backward=sim.eps_backward,
-            self_cfg=sim.self_cfg, dense=sim.dense, sparse=sim.sparse)
-        sim.steps = [sim.step]
-        sim.residuals = [sim.residual]
-        sc.self_friction = orig
 
     t0 = time.time()
     sps, conv, iters, ips = forward_throughput(sim, base, p_inv, xfs, B)
