@@ -37,6 +37,15 @@ def main():
                     help="override horizon (default: scene's 400)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=2e-4)  # hatController.py:233
+    ap.add_argument("--lr-decay", default="cosine",
+                    choices=["cosine", "none"],
+                    help="cosine-decay the LR to 10%% over the run "
+                         "(round-3 training swung 0.41->4.99 late at "
+                         "constant LR)")
+    ap.add_argument("--val-samples", type=int, default=4,
+                    help="fixed held-out pose set evaluated every epoch; "
+                         "the shipped controller is best-VAL (reference "
+                         "tracks best train/val, hatController.py:156-185)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--resume", action="store_true",
@@ -236,9 +245,32 @@ def main():
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
     ws = init_net(key)
+    if args.lr_decay == "cosine":
+        lr_sched = optax.cosine_decay_schedule(
+            args.lr, decay_steps=max(args.epochs, 1), alpha=0.1)
+    else:
+        lr_sched = args.lr
     opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adam(args.lr))
+                      optax.adam(lr_sched))
     opt_state = opt.init(ws)
+
+    # fixed validation poses (held-out rng stream) + forward-only loss
+    rng_val = np.random.RandomState(args.seed + 10007)
+    val_poses = [sample_pose(rng_val) for _ in range(args.val_samples)]
+    xs_val = jnp.stack([p[0] for p in val_poses])
+    aas_val = jnp.stack([p[1] for p in val_poses])
+
+    def val_loss(ws):
+        idx_f = jnp.arange(1, n_steps + 1, dtype=dtype)
+        x, v, a = xs_val, jnp.zeros_like(xs_val), aas_val
+        clips = []
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            x, v, a, clip_c = fwd_jit(ws, x, v, a, idx_f[sl])
+            jax.block_until_ready(x)
+            clips.append(clip_c)
+        clip_traj = jnp.concatenate(clips, axis=1)
+        return float(jnp.mean(jax.vmap(traj_loss)(clip_traj, x)))
 
     from diffcloth_tpu.utils import checkpoint as ckpt
     os.makedirs(args.out, exist_ok=True)
@@ -312,24 +344,29 @@ def main():
         xs = jnp.stack([p[0] for p in poses])
         aas = jnp.stack([p[1] for p in poses])
         loss, grads = loss_and_grad(ws, xs, aas)
+        gnorm = float(optax.global_norm(grads))
         updates, opt_state = opt.update(grads, opt_state)
         ws = optax.apply_updates(ws, updates)
-        log.append(float(loss))
-        print(f"epoch {epoch}: loss {float(loss):.5f} "
+        vl = val_loss(ws)
+        lr_now = float(lr_sched(epoch)) if callable(lr_sched) else lr_sched
+        log.append({"epoch": epoch, "train": float(loss), "val": vl,
+                    "gnorm": round(gnorm, 4), "lr": lr_now})
+        print(f"epoch {epoch}: train {float(loss):.5f} val {vl:.5f} "
+              f"gnorm {gnorm:.3f} lr {lr_now:.2e} "
               f"({time.time() - t0:.1f}s)", flush=True)
         with open(os.path.join(args.out, "log.json"), "w") as fh:
             json.dump(log, fh)
-        if float(loss) < best:  # best-epoch controller (hatController:156-185)
-            best = float(loss)
+        if vl < best:  # best-VAL controller (hatController.py:156-185)
+            best = vl
             with open(os.path.join(args.out, "controller.pkl"), "wb") as fh:
                 pickle.dump(jax.tree.map(np.asarray, ws), fh)
         ckpt.save_checkpoint(
             ckpt_dir, epoch + 1,
             {"ws": ws, "opt_state": opt_state, "rng": rng.get_state()[1],
              "best": np.asarray(best)},
-            metadata={"loss": float(loss)})
+            metadata={"loss": float(loss), "val": vl})
 
-    print("done; best train loss", best if log else None)
+    print("done; best val loss", best if log else None)
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def build_sim(tiny, tp_axis=None):
 
 
 def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
-        tp: int, out_path: str, note: str = ""):
+        tp: int, out_path: str, note: str = "", repeats: int = 3):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,9 +107,12 @@ def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
             in_specs=(P("dp"), P("dp"), P("dp")),
             out_specs=(P("dp"), P("dp")), check_vma=False))
         jax.block_until_ready(fn(winds, x0, v0))  # compile
-        t0 = time.time()
-        jax.block_until_ready(fn(winds, x0, v0))
-        return B * steps / (time.time() - t0)
+        best = float("inf")
+        for _ in range(repeats):   # best-of-N: 2-core hosts are noisy
+            t0 = time.time()
+            jax.block_until_ready(fn(winds, x0, v0))
+            best = min(best, time.time() - t0)
+        return B * steps / best
 
     def measure_train(devs, tp_):
         """One distributed training step: vmapped episode value_and_grad per
@@ -163,9 +166,12 @@ def run(n_devices: int, batch_per_device: int, steps: int, tiny: bool,
         L, g = fn(winds, x0, v0, p_inv)
         jax.block_until_ready(L)   # compile
         assert np.isfinite(float(L))
-        t0 = time.time()
-        jax.block_until_ready(fn(winds, x0, v0, p_inv))
-        return B * steps / (time.time() - t0)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            jax.block_until_ready(fn(winds, x0, v0, p_inv))
+            best = min(best, time.time() - t0)
+        return B * steps / best
 
     devs = jax.devices()[:n_devices]
     result = {
@@ -215,6 +221,9 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="use the real TPU devices (default: virtual CPU "
                          "mesh, which validates the sharded program)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repetitions per row (best-of; shared-core "
+                         "hosts are noisy)")
     ap.add_argument("--note", default="",
                     help="free-form provenance note recorded in the JSON "
                          "(e.g. physical core count behind a virtual mesh)")
@@ -227,7 +236,8 @@ def main():
         jax.config.update("jax_num_cpu_devices", args.devices)
     run(args.devices, args.batch_per_device, args.steps,
         tiny=args.grid if args.grid else not args.full_mesh,
-        tp=args.tp, out_path=args.out, note=args.note)
+        tp=args.tp, out_path=args.out, note=args.note,
+        repeats=args.repeats)
 
 
 if __name__ == "__main__":

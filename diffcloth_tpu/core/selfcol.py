@@ -42,7 +42,13 @@ import numpy as np
 
 
 class SelfContactSet(NamedTuple):
-    """Fixed-capacity active self-contact pairs for one step (frozen)."""
+    """Fixed-capacity active self-contact pairs for one step (frozen).
+
+    PRECONDITION: active slots (mask=True) hold DISTINCT unordered pairs.
+    All detectors guarantee this by construction (each pair is tested once);
+    `build_layer_tables` relies on it for its unique-index scatters, and
+    duplicated pairs would share a matching priority and collide on one
+    (layer, particle) address (see test_detectors_emit_unique_pairs)."""
     pair_i: jnp.ndarray     # (C,) int32 — min index of the pair
     pair_j: jnp.ndarray     # (C,) int32 — max index
     normal: jnp.ndarray     # (C,3) from j to i (normalized x_i - x_j)
@@ -409,6 +415,79 @@ def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
         lambda s: (apply_layer(s[0], s[1]), s[1] + 1),
         (r_init, jnp.asarray(0, jnp.int32)))
     return r_out
+
+
+def layer_tables_from_partners(partner_nk: jnp.ndarray,
+                               x: jnp.ndarray,
+                               max_layers: int) -> SelfContactTables:
+    """Symmetric per-row partner lists -> per-layer partner tables with NO
+    scatter anywhere (the production TPU pipeline).
+
+    `partner_nk` (n, K) int32: ALL contact partners of each particle (-1 =
+    empty) — each unordered pair (p, q) appears in BOTH row p and row q
+    (the Pallas kernel run on the symmetric admissibility table emits
+    exactly this).  The greedy matching that `assign_layers` runs on the
+    pair list is re-expressed on the table:
+
+      per round: owner[p] = min over p's entries of the canonical pair id
+                 (min(p,q)*n + max(p,q)) — a LANE REDUCTION over K, not a
+                 scatter-min over a pair list (TPU scatters with duplicate
+                 indices lower to sequential per-index loops);
+                 entry (p,q) wins iff owner[p] == owner[q] == its id — two
+                 gathers + compares.
+
+    Identical priorities and win condition => identical (pair -> layer)
+    maps to assign_layers on the same contact set.  A particle wins at most
+    one entry per round (owner[p] equals exactly one of its ids), so each
+    (layer, particle) slot holds at most one partner and the per-layer
+    table is built by a masked lane reduction too.  Rows whose kernel
+    count overflowed K drop the missing pairs SYMMETRICALLY: the win
+    condition requires both owners to agree, and an owner never saw the
+    dropped id.  int32 pair ids require n <= 46340 (n^2 < 2^31); larger
+    meshes use the sweep path.
+
+    reference: contactSorting (Simulation.cpp:422-624)."""
+    n, K = partner_nk.shape
+    valid = partner_nk >= 0
+    pc = jnp.maximum(partner_nk, 0)
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    pri = (jnp.minimum(rows, pc) * jnp.int32(n)
+           + jnp.maximum(rows, pc))                      # (n,K) canonical id
+    BIG = jnp.iinfo(jnp.int32).max
+
+    def round_cond(state):
+        layer, unassigned, k = state
+        return jnp.logical_and(k < max_layers, jnp.any(unassigned & valid))
+
+    def round_body(state):
+        layer, unassigned, k = state
+        active = unassigned & valid
+        ids = jnp.where(active, pri, BIG)
+        owner = jnp.min(ids, axis=1)                     # (n,)
+        win = active & (owner[:, None] == pri) & (owner[pc] == pri)
+        layer = jnp.where(win, k, layer)
+        return layer, unassigned & ~win, k + 1
+
+    layer0 = jnp.full((n, K), -1, jnp.int32)
+    layer, _, _ = jax.lax.while_loop(
+        round_cond, round_body,
+        (layer0, valid, jnp.asarray(0, jnp.int32)))
+
+    # per-layer tables by masked lane reduction (<= 1 winner per slot)
+    L = max_layers
+    lay3 = layer[None, :, :]                             # (1, n, K)
+    lsel = jnp.arange(L, dtype=jnp.int32)[:, None, None]  # (L, 1, 1)
+    hit = (lay3 == lsel)                                 # (L, n, K)
+    partner = jnp.max(jnp.where(hit, pc[None], -1), axis=2)  # (L, n)
+    has = partner >= 0
+    pcl = jnp.maximum(partner, 0)
+    diff = x - x[pcl.reshape(-1)].reshape(L, n, 3)       # row - partner
+    nrm = diff / jnp.maximum(
+        jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-12)
+    normal = jnp.where(has[:, :, None], nrm.astype(x.dtype), 0.0)
+    n_layers = jnp.max(layer) + 1
+    return SelfContactTables(partner=partner, normal=normal,
+                             n_layers=n_layers.astype(jnp.int32))
 
 
 def empty_layer_tables(n_particles: int, max_layers: int,

@@ -51,7 +51,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
-            k_partners: int):
+            k_partners: int, triu_only: bool):
     bi = pl.program_id(1)
     bj = pl.program_id(2)
     nbj = pl.num_programs(2)
@@ -61,8 +61,11 @@ def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
         slots_ref[:] = jnp.full_like(slots_ref, -1)
         count_ref[:] = jnp.zeros_like(count_ref)
 
-    # blocks entirely below the diagonal can never hold i<j pairs
-    @pl.when(bj * BJ + BJ > bi * BI)
+    # triu mode (pair-set extraction): blocks entirely below the diagonal
+    # can never hold i<j pairs.  Symmetric mode (partner tables): every
+    # block computes — each pair is discovered from BOTH rows, which is
+    # what makes the downstream layering/friction gather-only.
+    @pl.when((bj * BJ + BJ > bi * BI) if triu_only else (bj >= 0))
     def _compute():
         # geometry tiles: geom rows 0-2 = x, 3-5 = x + h v, 6 = radii
         gi = geom_ref[0, :, pl.ds(bi * BI, BI)]         # (8, BI)
@@ -111,7 +114,8 @@ def _kernel(geom_ref, allowed_ref, out_ref, slots_ref, count_ref, *,
 
 
 def _detect_partners_grid(geom_b: jnp.ndarray, allowed: jnp.ndarray,
-                          k_partners: int, interpret: bool) -> jnp.ndarray:
+                          k_partners: int, interpret: bool,
+                          triu_only: bool = True) -> jnp.ndarray:
     """Natively batched kernel launch: geom_b (B, 8, n_pad) -> (B, n_pad,
     SLOT_COLS).  The batch is the SLOWEST grid dimension — one kernel, one
     compile, any B.  (Routing vmap through jax's default pallas batching
@@ -119,7 +123,8 @@ def _detect_partners_grid(geom_b: jnp.ndarray, allowed: jnp.ndarray,
     compiled in ~2 min, B>=128 did not return within 25 min on v5e.)"""
     B, _, n_pad = geom_b.shape
     assert n_pad % BJ == 0 and n_pad % BI == 0, n_pad
-    kernel = functools.partial(_kernel, k_partners=k_partners)
+    kernel = functools.partial(_kernel, k_partners=k_partners,
+                               triu_only=triu_only)
     return pl.pallas_call(
         kernel,
         grid=(B, n_pad // BI, n_pad // BJ),
@@ -143,11 +148,13 @@ def _detect_partners_grid(geom_b: jnp.ndarray, allowed: jnp.ndarray,
 _DETECT_CACHE: dict = {}
 
 
-def _detect_partners_fn(k_partners: int, interpret: bool):
-    """custom_vmap wrapper, cached per (K, interpret): the single-sample
-    call runs the grid kernel at B=1; a vmapped call is rewritten to the
-    SAME kernel with the batch as the leading grid dimension."""
-    key = (k_partners, interpret)
+def _detect_partners_fn(k_partners: int, interpret: bool,
+                        triu_only: bool = True):
+    """custom_vmap wrapper, cached per (K, interpret, triu): the
+    single-sample call runs the grid kernel at B=1; a vmapped call is
+    rewritten to the SAME kernel with the batch as the leading grid
+    dimension."""
+    key = (k_partners, interpret, triu_only)
     fn = _DETECT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -155,7 +162,7 @@ def _detect_partners_fn(k_partners: int, interpret: bool):
     @jax.custom_batching.custom_vmap
     def detect(geom, allowed):
         return _detect_partners_grid(geom[None], allowed, k_partners,
-                                     interpret)[0]
+                                     interpret, triu_only)[0]
 
     @detect.def_vmap
     def _rule(axis_size, in_batched, geom_b, allowed_b):
@@ -164,7 +171,7 @@ def _detect_partners_fn(k_partners: int, interpret: bool):
             "detect_partners batches over geometry only; the admissibility "
             "table is per-topology")
         out = _detect_partners_grid(geom_b, allowed_b, k_partners,
-                                    interpret)
+                                    interpret, triu_only)
         return out, True
 
     _DETECT_CACHE[key] = detect
@@ -251,3 +258,42 @@ def pack_allowed(allowed_triu: np.ndarray) -> np.ndarray:
     out = np.zeros((n_pad, n_pad), np.int8)
     out[:n, :n] = allowed_triu.astype(np.int8)
     return out
+
+
+def detect_tables_pallas(allowed_sym: jnp.ndarray, radii: jnp.ndarray,
+                         x: jnp.ndarray, v: jnp.ndarray, h: float,
+                         k_partners: int, max_layers: int,
+                         interpret: bool | None = None):
+    """Production TPU self-collision pipeline: symmetric kernel detection ->
+    dense layering -> per-layer friction tables, scatter-free END TO END.
+
+    `allowed_sym` is the (n_pad, n_pad) int8 SYMMETRIC non-adjacency table
+    (pack_allowed on ~conn & ~eye, no triu): every unordered pair is
+    discovered from both rows, so the kernel's per-row partner slots are the
+    complete contact incidence of each particle and everything downstream
+    (layer assignment, table build, friction) is gathers + lane reductions.
+    The earlier pair-list pipeline (detect_self_collisions_pallas +
+    assign_layers + build_layer_tables) compacts and scatters; TPU lowers
+    those duplicate-index scatters to sequential per-index loops, which
+    profiled as the dominant per-step contact cost (tools/step_profile.py
+    --mode detect).  That path remains the parity/diagnostic oracle.
+
+    Returns (SelfContactTables, overflow) — overflow is True when any
+    particle exceeded k_partners contacts (bump K at recompile).
+
+    reference hot loop being replaced: Simulation.cpp:225-372 detection +
+    contactSorting :422-624."""
+    from diffcloth_tpu.core.selfcol import layer_tables_from_partners
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = x.shape[0]
+    n_pad = allowed_sym.shape[0]
+    geom = build_geom(x, v, radii, h, n_pad)
+    table = _detect_partners_fn(k_partners, interpret, triu_only=False)(
+        geom, allowed_sym)
+    partners = table[:n, :k_partners]
+    counts = table[:n, k_partners]
+    overflow = jnp.any(counts > k_partners)
+    tables = layer_tables_from_partners(partners, x, max_layers)
+    return tables, overflow

@@ -100,7 +100,8 @@ class ClothSim:
                  max_forward_iters: Optional[int] = None,
                  solve_fn=None, self_cap_pairs: Optional[int] = None,
                  self_max_layers: int = 16, self_window: int = 48,
-                 self_method: Optional[str] = None, self_k_partners: int = 6,
+                 self_method: Optional[str] = None,
+                 self_k_partners: Optional[int] = None,
                  self_ablate: str = "",
                  dense_ops: Optional[bool] = None,
                  sparse_ops: Optional[bool] = None,
@@ -200,13 +201,23 @@ class ClothSim:
                                    if jax.default_backend() == "tpu"
                                    else "matrix")
             allowed = ~scene.conn_table & ~np.eye(scene.n, dtype=bool)
-            if self_method in ("matrix", "pallas"):
+            if self_method == "matrix":
                 allowed &= np.triu(np.ones_like(allowed), 1)
             if self_method == "pallas":
+                # SYMMETRIC table: the kernel discovers each pair from both
+                # rows, making the partner table the complete per-particle
+                # contact incidence (scatter-free layering + friction,
+                # selfcol_pallas.detect_tables_pallas).  Rows now hold ALL
+                # partners (not just the j>i half), so the per-row slot
+                # budget defaults higher than the triu detectors'.
                 from diffcloth_tpu.core import selfcol_pallas as scp
                 allowed_dev = jnp.asarray(scp.pack_allowed(allowed))
+                if self_k_partners is None:
+                    self_k_partners = 8
             else:
                 allowed_dev = jnp.asarray(allowed)
+                if self_k_partners is None:
+                    self_k_partners = 6
             cap = self_cap_pairs or max(128, scene.n // 2)
             window = min(self_window, scene.n - 1)
             self_cfg = step_mod.SelfColConfig(

@@ -320,11 +320,11 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         """Obstacle contacts first (layer 0), then layered self-contact
         Gauss-Seidel (calculateDryFrictionVector, Simulation.cpp:627-682).
 
-        `selfc` is a (SelfContactSet, SelfContactTables) pair when
-        self-collision is on; friction runs on the gather-only tables
-        (built once per step) — the pair-list path's per-layer scatter-adds
-        lower to sequential index loops on TPU and dominated the contact
-        step (see selfcol.SelfContactTables)."""
+        `selfc` is a (SelfContactTables, overflow) pair when self-collision
+        is on; friction runs on the gather-only tables (built once per
+        step) — the pair-list path's per-layer scatter-adds lower to
+        sequential index loops on TPU and dominated the contact step (see
+        selfcol.SelfContactTables)."""
         if not flags.contact_enabled:
             return jnp.zeros_like(f)
         if prims.kind.shape[0] > 0:
@@ -332,7 +332,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         else:
             r = jnp.zeros_like(f)
         if use_self and self_cfg.ablate == "":
-            _, tables = selfc
+            tables, _ = selfc
             r = sc.self_friction_tables(f, tables, m, r,
                                         self_cfg.max_layers,
                                         ct.dry_friction_force,
@@ -406,27 +406,44 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
         if use_self:
             if self_cfg.method == "pallas":
+                # scatter-free end to end: symmetric kernel partner table
+                # -> dense layering -> friction tables (selfcol_pallas.
+                # detect_tables_pallas); the pair-list detectors below
+                # need the scatter-based compaction + layering
                 from diffcloth_tpu.core import selfcol_pallas as scp
-                selfc = scp.detect_self_collisions_pallas(
-                    self_cfg.allowed, scene.radii, x_n, v_iter0, h,
-                    self_cfg.k_partners, self_cfg.cap_pairs)
-            elif self_cfg.method == "matrix":
-                selfc = sc.detect_self_collisions_matrix(
-                    self_cfg.allowed, scene.radii, x_n, v_iter0, h,
-                    self_cfg.k_partners, self_cfg.cap_pairs)
+                if self_cfg.ablate == "detect_only":
+                    geom = scp.build_geom(x_n, v_iter0, scene.radii, h,
+                                          self_cfg.allowed.shape[0])
+                    tbl = scp.detect_partners(geom, self_cfg.allowed,
+                                              self_cfg.k_partners)
+                    overflow = jnp.any(
+                        tbl[:n, self_cfg.k_partners] > self_cfg.k_partners)
+                    selfc = (sc.empty_layer_tables(
+                        n, self_cfg.max_layers, x_n.dtype), overflow)
+                else:
+                    selfc = scp.detect_tables_pallas(
+                        self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                        self_cfg.k_partners, self_cfg.max_layers)
             else:
-                selfc = sc.detect_self_collisions_sweep(
-                    self_cfg.allowed, scene.radii, x_n, v_iter0, h,
-                    self_cfg.window, self_cfg.cap_pairs)
-            if self_cfg.ablate == "detect_only":
-                selfc = (selfc, sc.empty_layer_tables(n, self_cfg.max_layers,
-                                                      x_n.dtype))
-            else:
-                selfc = sc.assign_layers(selfc, n, self_cfg.max_layers)
-                selfc = (selfc, sc.build_layer_tables(selfc, n,
-                                                      self_cfg.max_layers))
+                if self_cfg.method == "matrix":
+                    cs = sc.detect_self_collisions_matrix(
+                        self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                        self_cfg.k_partners, self_cfg.cap_pairs)
+                else:
+                    cs = sc.detect_self_collisions_sweep(
+                        self_cfg.allowed, scene.radii, x_n, v_iter0, h,
+                        self_cfg.window, self_cfg.cap_pairs)
+                if self_cfg.ablate == "detect_only":
+                    selfc = (sc.empty_layer_tables(
+                        n, self_cfg.max_layers, x_n.dtype), cs.overflow)
+                else:
+                    cs = sc.assign_layers(cs, n, self_cfg.max_layers)
+                    selfc = (sc.build_layer_tables(cs, n,
+                                                   self_cfg.max_layers),
+                             cs.overflow)
         else:
-            selfc = sc.empty_self_contacts(1, x_n.dtype)
+            selfc = (sc.empty_layer_tables(n, 1, x_n.dtype),
+                     jnp.asarray(False))
 
         # constants across PD iterations, hoisted out of the loop body
         y_n = apply_A_all(x_n)
@@ -514,8 +531,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         avg_def, max_def = _deformation(scene, x_new)
         aux = StepAux(f=f_rec, r=out.r, converged=converged, iters=out.it,
                       avg_deformation=avg_def, max_deformation=max_def,
-                      selfcol_overflow=(selfc[0].overflow if use_self
-                                        else selfc.overflow))
+                      selfcol_overflow=selfc[1])
         return x_new, v_new, aux, contact, selfc
 
     # -- custom VJP ---------------------------------------------------------

@@ -63,9 +63,12 @@ def render_frame(x: np.ndarray, tris: np.ndarray,
 
 def render_episode(xs: np.ndarray, tris: np.ndarray, out: str,
                    stride: int = 5, fps: int = 12,
-                   x_fixed: Optional[np.ndarray] = None) -> str:
+                   x_fixed: Optional[np.ndarray] = None,
+                   overlay_pts: Optional[np.ndarray] = None) -> str:
     """Render a trajectory (N,n,3) to an animated GIF (or per-frame PNGs if
-    `out` is a directory).  The playback analog of Viewer::startMainLoop."""
+    `out` is a directory).  The playback analog of Viewer::startMainLoop.
+    `overlay_pts` (P,3): static scene geometry (e.g. sampled obstacle
+    surfaces) drawn as gray dots in every frame."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -84,6 +87,8 @@ def render_episode(xs: np.ndarray, tris: np.ndarray, out: str,
 
     fig = plt.figure(figsize=(6, 6), dpi=90)
     ax = fig.add_subplot(111, projection="3d")
+    all_pts = xs if overlay_pts is None else np.concatenate(
+        [xs.reshape(-1, 3), np.asarray(overlay_pts)], axis=0)
 
     def draw(k):
         ax.clear()
@@ -92,7 +97,11 @@ def render_episode(xs: np.ndarray, tris: np.ndarray, out: str,
         ax.plot_trisurf(x[:, 0], x[:, 2], np.asarray(tris), x[:, 1],
                         color=(0.35, 0.55, 0.85, 0.95),
                         edgecolor=(0, 0, 0, 0.08), linewidth=0.2)
-        _setup_axes(ax, xs, f"frame {i}/{xs.shape[0] - 1}")
+        if overlay_pts is not None:
+            op = np.asarray(overlay_pts)
+            ax.scatter(op[:, 0], op[:, 2], op[:, 1], color=(0.4, 0.4, 0.4),
+                       s=4, alpha=0.6, depthshade=False)
+        _setup_axes(ax, all_pts, f"frame {i}/{xs.shape[0] - 1}")
         ax.view_init(elev=12.0, azim=-60.0)
         return []
 

@@ -203,6 +203,123 @@ def test_table_friction_matches_pairlist_scatter():
                                rtol=1e-12, atol=1e-14)
 
 
+def test_symmetric_tables_pipeline_matches_pairlist():
+    """The production TPU pipeline (symmetric kernel partner table -> dense
+    layering -> friction tables, zero scatters) must produce EXACTLY the
+    tables the pair-list pipeline (matrix detect -> assign_layers ->
+    build_layer_tables) builds: identical greedy priorities imply identical
+    (pair -> layer) maps, and the per-row normal convention is shared."""
+    from diffcloth_tpu.core import contact as ct
+    from diffcloth_tpu.core import selfcol_pallas as scp
+    h = 0.02
+    L = 16
+    for seed in range(3):
+        x, v, radii, conn = random_config(seed)
+        n = x.shape[0]
+        x = jnp.asarray(np.asarray(x, np.float32))
+        v = jnp.asarray(np.asarray(v, np.float32))
+        radii = jnp.asarray(np.asarray(radii, np.float32))
+        nonadj = ~conn & ~np.eye(n, dtype=bool)
+        allowed_triu = nonadj & np.triu(np.ones((n, n), bool), 1)
+
+        cs = sc.detect_self_collisions_matrix(
+            jnp.asarray(allowed_triu), radii, x, v, h, 8, 512)
+        assert not bool(cs.overflow)
+        cs = sc.assign_layers(cs, n, L)
+        tab_ref = sc.build_layer_tables(cs, n, L)
+
+        tab_sym, ovf = scp.detect_tables_pallas(
+            jnp.asarray(scp.pack_allowed(nonadj)), radii, x, v, h,
+            k_partners=16, max_layers=L, interpret=True)
+        assert not bool(ovf)
+        assert int(tab_sym.n_layers) == int(tab_ref.n_layers)
+        np.testing.assert_array_equal(np.asarray(tab_sym.partner),
+                                      np.asarray(tab_ref.partner))
+        np.testing.assert_allclose(np.asarray(tab_sym.normal),
+                                   np.asarray(tab_ref.normal),
+                                   rtol=1e-6, atol=1e-7)
+
+        # friction through both tables agrees
+        rng = np.random.RandomState(seed)
+        mass = jnp.asarray(rng.rand(n).astype(np.float32) * 2.0 + 0.1)
+        f = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        r0 = jnp.zeros((n, 3), jnp.float32)
+        r_a = sc.self_friction_tables(f, tab_ref, mass, r0, L,
+                                      ct.dry_friction_force)
+        r_b = sc.self_friction_tables(f, tab_sym, mass, r0, L,
+                                      ct.dry_friction_force)
+        np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_a),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_symmetric_tables_overflow_and_vmap():
+    """k_partners too small for the symmetric per-row degree must raise the
+    overflow flag; the pipeline must work under vmap (production call is a
+    vmapped jitted scan)."""
+    from diffcloth_tpu.core import selfcol_pallas as scp
+    n = 8
+    x = jnp.zeros((n, 3), jnp.float32)   # fully collapsed cluster
+    nonadj = ~np.eye(n, dtype=bool)
+    _, ovf = scp.detect_tables_pallas(
+        jnp.asarray(scp.pack_allowed(nonadj)), jnp.full((n,), 0.2),
+        x, jnp.zeros_like(x), 0.02, k_partners=3, max_layers=8,
+        interpret=True)
+    assert bool(ovf)
+
+    x0, v0, radii, conn = random_config(5, n=96, n_adj=60)
+    n = 96
+    xs = jnp.asarray(np.stack([np.asarray(x0) * s
+                               for s in (1.0, 0.7, 1.3)]), jnp.float32)
+    vs = jnp.asarray(np.stack([np.asarray(v0)] * 3), jnp.float32)
+    radii = jnp.asarray(np.asarray(radii, np.float32))
+    allowed = jnp.asarray(scp.pack_allowed(~conn & ~np.eye(n, dtype=bool)))
+
+    @jax.jit
+    @jax.vmap
+    def det(xb, vb):
+        tab, ovf = scp.detect_tables_pallas(allowed, radii, xb, vb, 0.02,
+                                            16, 16, interpret=True)
+        return (tab.partner >= 0).sum(), ovf
+
+    counts, ovf = det(xs, vs)
+    assert counts.shape == (3,) and not bool(jnp.any(ovf))
+    # per-sample partner-entry count = 2x the matrix detector's pair count
+    for b in range(3):
+        cs_m = sc.detect_self_collisions_matrix(
+            jnp.asarray((~conn & ~np.eye(n, dtype=bool))
+                        & np.triu(np.ones((n, n), bool), 1)),
+            radii, xs[b], vs[b], 0.02, 8, 256)
+        assert int(counts[b]) == 2 * int(np.asarray(cs_m.mask).sum()), b
+
+
+def test_detectors_emit_unique_pairs():
+    """SelfContactSet precondition (documented on the class): active slots
+    hold DISTINCT unordered pairs.  build_layer_tables scatters with
+    unique_indices=True, which is undefined behavior on duplicates —
+    duplicate pairs share a priority, win the same matching round, and
+    collide on the same (layer, particle) address (ADVICE r3)."""
+    h = 0.05
+    for seed in range(3):
+        x, v, radii, conn = random_config(seed, n=120, n_adj=60)
+        n = 120
+        cand = sc.build_candidate_pairs(conn)
+        for cs in (
+            sc.detect_self_collisions(jnp.asarray(cand, jnp.int32), radii,
+                                      x, v, h, cap_pairs=1024),
+            sc.detect_self_collisions_matrix(
+                jnp.asarray((~conn & ~np.eye(n, dtype=bool))
+                            & np.triu(np.ones((n, n), bool), 1)),
+                radii, x, v, h, 8, 1024),
+            sc.detect_self_collisions_sweep(
+                jnp.asarray(~conn & ~np.eye(n, dtype=bool)), radii, x, v,
+                h, window=64, cap_pairs=1024),
+        ):
+            m = np.asarray(cs.mask)
+            pairs = np.stack([np.asarray(cs.pair_i)[m],
+                              np.asarray(cs.pair_j)[m]], 1)
+            assert len(pairs) == len(set(map(tuple, pairs.tolist())))
+
+
 def test_pallas_kernel_vmapped_parity_and_overflow():
     """Pallas detection under vmap (the production batched-rollout call
     site, now the TPU default) must match the per-sample matrix detector

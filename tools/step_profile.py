@@ -92,43 +92,43 @@ def main():
         x = jnp.asarray(xs, jnp.float32)
         v = jnp.zeros_like(x)
 
-        def detect_set(xb, vb):
-            if cfg.method == "pallas":
-                return scp.detect_self_collisions_pallas(
-                    cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
-                    cfg.k_partners, cfg.cap_pairs)
-            return sc.detect_self_collisions_matrix(
-                cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
-                cfg.k_partners, cfg.cap_pairs)
-
         stages = {}
         if cfg.method == "pallas":
+            # production pipeline: symmetric kernel -> dense layering
             n_pad = cfg.allowed.shape[0]
 
             def kernel_only(xb, vb):
                 geom = scp.build_geom(xb, vb, sim.scene_dev.radii, sim.h,
                                       n_pad)
-                tbl = scp.detect_partners(geom, cfg.allowed, cfg.k_partners)
+                tbl = scp._detect_partners_fn(
+                    cfg.k_partners, False, triu_only=False)(geom,
+                                                            cfg.allowed)
                 return tbl.sum()
             stages["kernel"] = kernel_only
 
-        def extract(xb, vb):
-            cs = detect_set(xb, vb)
-            return cs.mask.sum(), cs.overflow
-        stages["extract"] = extract
+            def tabled(xb, vb):
+                tab, ovf = scp.detect_tables_pallas(
+                    cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
+                    cfg.k_partners, cfg.max_layers)
+                return (tab.partner >= 0).sum(), ovf
+            stages["tables"] = tabled
+        else:
+            def detect_set(xb, vb):
+                return sc.detect_self_collisions_matrix(
+                    cfg.allowed, sim.scene_dev.radii, xb, vb, sim.h,
+                    cfg.k_partners, cfg.cap_pairs)
 
-        def layered(xb, vb):
-            cs = detect_set(xb, vb)
-            cs = sc.assign_layers(cs, sim.n, cfg.max_layers)
-            return cs.mask.sum(), cs.overflow
-        stages["layers"] = layered
+            def extract(xb, vb):
+                cs = detect_set(xb, vb)
+                return cs.mask.sum(), cs.overflow
+            stages["extract"] = extract
 
-        def tabled(xb, vb):
-            cs = detect_set(xb, vb)
-            cs = sc.assign_layers(cs, sim.n, cfg.max_layers)
-            tb = sc.build_layer_tables(cs, sim.n, cfg.max_layers)
-            return cs.mask.sum(), tb.n_layers
-        stages["tables"] = tabled
+            def tabled(xb, vb):
+                cs = detect_set(xb, vb)
+                cs = sc.assign_layers(cs, sim.n, cfg.max_layers)
+                tb = sc.build_layer_tables(cs, sim.n, cfg.max_layers)
+                return cs.mask.sum(), tb.n_layers
+            stages["tables"] = tabled
 
         out = {"mode": "detect", "B": B, "method": cfg.method}
         for name, fn in stages.items():
