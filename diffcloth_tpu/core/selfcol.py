@@ -381,7 +381,8 @@ def build_layer_tables(contacts: SelfContactSet, n_particles: int,
 def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
                          mass: jnp.ndarray, r_init: jnp.ndarray,
                          max_layers: int, dry_friction_force,
-                         differentiable: bool = False) -> jnp.ndarray:
+                         differentiable: bool = False,
+                         unroll: int = 0) -> jnp.ndarray:
     """Layered Gauss–Seidel self-contact friction on partner tables —
     identical math to `self_friction` (calculateDryFrictionVector,
     Simulation.cpp:655-676) but scatter-free: per layer, each particle
@@ -390,7 +391,15 @@ def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
     differentiable=True uses a static fori_loop over the layer cap (the
     residual is reverse-differentiated and dynamic-bound while_loops have
     no reverse rule); the forward PD loop early-exits at the populated
-    layer count."""
+    layer count.
+
+    unroll > 0 replaces the loop construct entirely with a Python unroll
+    over min(unroll, max_layers) layers — fully fusible straight-line code
+    (a vmapped dynamic while_loop nested in the PD loop breaks XLA fusion
+    and round-trips the carried state through HBM every trip; measured as
+    the dominant full-contact cost at tshirt scale, r4 bisection).  Layers
+    beyond the unroll bound are dropped from friction exactly like layers
+    beyond max_layers are dropped by assign_layers."""
     MU_CLOTH = 0.1
     m_safe = jnp.maximum(mass, 1e-30)
 
@@ -405,6 +414,12 @@ def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
         mu = jnp.full(p.shape, MU_CLOTH, f.dtype)
         r_row = k_red[:, None] * dry_friction_force(tables.normal[l], d, mu)
         return r + jnp.where(has[:, None], r_row, 0.0)
+
+    if unroll > 0:
+        r = r_init
+        for l in range(min(unroll, max_layers)):
+            r = apply_layer(r, l)
+        return r
 
     if differentiable:
         return jax.lax.fori_loop(
@@ -488,6 +503,119 @@ def layer_tables_from_partners(partner_nk: jnp.ndarray,
     n_layers = jnp.max(layer) + 1
     return SelfContactTables(partner=partner, normal=normal,
                              n_layers=n_layers.astype(jnp.int32))
+
+
+class CompactLayers(NamedTuple):
+    """Per-layer compact contact slots for MXU-matmul friction.
+
+    The gather-path friction (`self_friction_tables`) pays two (B, n)
+    batched row gathers per layer per PD iteration; on v5e those gathers
+    are the slowest primitive in the entire contact step (r4 bisection:
+    full 380 steps/s vs 5190 with friction ablated, and a static unroll
+    does not help — the gathers themselves are the cost).  This form
+    compacts each layer's active rows into C static slots and replaces
+    every gather/scatter with thin one-hot matmuls:
+
+        vals_row  = exp_l^T fhat     (C,n)@(n,3)   == fhat[row_idx]
+        vals_part = sel_l^T fhat                   == fhat[partner_idx]
+        r        += exp_l  r_slot    (n,C)@(C,3)   == row-scatter
+
+    One-hot rows have exactly one nonzero, so the contraction is EXACT in
+    f32 (order-independent single products) — bitwise equal to the gather
+    path at HIGHEST precision.  Slots beyond a layer's active count carry
+    zero normals and zero reduced mass, so they contribute exactly zero.
+
+    Overflow: if a layer has more active rows than its slot budget the
+    surplus rows are dropped UNSYMMETRICALLY (a pair's two rows can land
+    on opposite sides of the cap), so `overflow` must gate trust in the
+    step exactly like detection overflow does."""
+    exp: tuple       # per layer: (n, C_l) one-hot of row index
+    sel: tuple       # per layer: (n, C_l) one-hot of partner index
+    normal: tuple    # per layer: (C_l, 3) row-signed normal
+    area_row: tuple  # per layer: (C_l,) lumped area of the row vertex
+    area_part: tuple # per layer: (C_l,) lumped area of the partner vertex
+    overflow: jnp.ndarray  # () bool — slot budget exceeded
+
+
+def compact_slot_budgets(n_layers: int, c0: int = 256,
+                         c_rest: int = 128) -> tuple:
+    """Static per-layer slot budgets: layer 0 carries most contacts."""
+    return tuple([c0] + [c_rest] * max(n_layers - 1, 0))
+
+
+def build_compact_layers(tables: SelfContactTables, area: jnp.ndarray,
+                         n_particles: int,
+                         budgets: tuple) -> CompactLayers:
+    """Partner tables -> per-layer compact slots (once per STEP, amortized
+    over all PD iterations).  Gathers/scatters here are per-step, not
+    per-iteration; the loop body then touches only matmuls."""
+    n = n_particles
+    iota = jnp.arange(n, dtype=jnp.int32)
+    exp, sel, nrm, a_row, a_part = [], [], [], [], []
+    overflow = jnp.asarray(False)
+    for l, C in enumerate(budgets):
+        p = tables.partner[l]
+        has = p >= 0
+        pos = jnp.cumsum(has.astype(jnp.int32)) - 1
+        tgt = jnp.where(has & (pos < C), pos, C)
+        row_idx = jnp.full((C,), -1, jnp.int32).at[tgt].set(
+            iota, mode="drop", unique_indices=True)
+        part_idx = jnp.full((C,), -1, jnp.int32).at[tgt].set(
+            p, mode="drop", unique_indices=True)
+        overflow = overflow | (jnp.sum(has) > C)
+        valid = row_idx >= 0
+        rc = jnp.maximum(row_idx, 0)
+        pc = jnp.maximum(part_idx, 0)
+        exp.append((iota[:, None] == row_idx[None, :]).astype(area.dtype))
+        sel.append((iota[:, None] == part_idx[None, :]).astype(area.dtype))
+        nrm.append(jnp.where(valid[:, None],
+                             tables.normal[l][rc], 0.0))
+        a_row.append(jnp.where(valid, area[rc], 0.0))
+        a_part.append(jnp.where(valid, area[pc], 0.0))
+    return CompactLayers(exp=tuple(exp), sel=tuple(sel), normal=tuple(nrm),
+                         area_row=tuple(a_row), area_part=tuple(a_part),
+                         overflow=overflow)
+
+
+def self_friction_compact(f: jnp.ndarray, compact: CompactLayers,
+                          density, mass: jnp.ndarray, r_init: jnp.ndarray,
+                          dry_friction_force,
+                          precision=None) -> jnp.ndarray:
+    """Layered Gauss–Seidel friction on compact slots: per layer, three
+    thin matmuls and elementwise math — no gather, no scatter, no dynamic
+    loop.  Bitwise-equivalent to `self_friction_tables` on the same layers
+    (one-hot contractions are exact single products)."""
+    import os
+
+    import jax as _jax
+    MU_CLOTH = 0.1
+    if precision is None:
+        # experiment knob: the one-hot side is exact at any precision, so
+        # lower precision only rounds fhat/r_slot to bf16 (<=0.4% on the
+        # friction force) while cutting the dominant one-hot HBM re-reads
+        # from 3 passes to 1.  Default stays exact (HIGHEST).
+        env = os.environ.get("DIFFCLOTH_FRICTION_PRECISION", "")
+        if env:
+            precision = getattr(_jax.lax.Precision, env.upper())
+        else:
+            from diffcloth_tpu.core import dense_ops as _dn
+            precision = _dn.HI
+    m_safe = jnp.maximum(mass, 1e-30)
+    r = r_init
+    for exp_l, sel_l, nrm_l, ar_l, ap_l in zip(
+            compact.exp, compact.sel, compact.normal,
+            compact.area_row, compact.area_part):
+        fhat = (f + r) / m_safe[:, None]
+        vals_row = jnp.matmul(exp_l.T, fhat, precision=precision)
+        vals_part = jnp.matmul(sel_l.T, fhat, precision=precision)
+        d = vals_row - vals_part
+        m_row = density * ar_l
+        m_part = density * ap_l
+        k_red = m_row * m_part / jnp.maximum(m_row + m_part, 1e-30)
+        mu = jnp.full(ar_l.shape, MU_CLOTH, f.dtype)
+        r_slot = k_red[:, None] * dry_friction_force(nrm_l, d, mu)
+        r = r + jnp.matmul(exp_l, r_slot, precision=precision)
+    return r
 
 
 def empty_layer_tables(n_particles: int, max_layers: int,

@@ -102,7 +102,10 @@ class ClothSim:
                  self_max_layers: int = 16, self_window: int = 48,
                  self_method: Optional[str] = None,
                  self_k_partners: Optional[int] = None,
-                 self_ablate: str = "",
+                 self_ablate: str = "", self_friction_unroll: int = 0,
+                 self_friction_impl: str = "compact",
+                 self_compact_layers: int = 4,
+                 self_compact_budgets: Optional[tuple] = None,
                  dense_ops: Optional[bool] = None,
                  sparse_ops: Optional[bool] = None,
                  solve_mode: Optional[str] = None,
@@ -224,7 +227,11 @@ class ClothSim:
                 allowed=allowed_dev, method=self_method,
                 window=window, k_partners=self_k_partners,
                 cap_pairs=cap, max_layers=self_max_layers,
-                ablate=self_ablate)
+                ablate=self_ablate,
+                friction_unroll=self_friction_unroll,
+                friction_impl=self_friction_impl,
+                compact_layers=self_compact_layers,
+                compact_budgets=self_compact_budgets)
         self.self_cfg = self_cfg
 
         # dense MXU constraint operators: default on up to a size where the

@@ -74,6 +74,24 @@ class SelfColConfig(NamedTuple):
     #                   overflow flag); layering/tables/friction skipped
     # Ablated steps are NOT physical — profiling only.
     ablate: str = ""
+    # friction_unroll > 0: apply self-friction as straight-line code over
+    # that many layers instead of a dynamic while_loop (see
+    # selfcol.self_friction_tables).  Layers beyond the bound are dropped.
+    friction_unroll: int = 0
+    # friction implementation: 'compact' (default — per-layer one-hot slot
+    # matrices applied as thin MXU matmuls, selfcol.self_friction_compact;
+    # zero gathers in the PD loop) or 'tables' (per-layer (n,) partner
+    # gathers — the r4 bisection measured those batched row gathers at
+    # ~3 ms/layer/iteration at tshirt B=64, 13x the rest of the step).
+    friction_impl: str = "compact"
+    # number of contact layers the compact path applies (layers beyond it
+    # are dropped and FLAGGED via selfcol_overflow; real cloth rollouts
+    # measured 0-3 populated layers, tools/friction_profile.py)
+    compact_layers: int = 4
+    # per-layer slot budgets override (None = compact_slot_budgets default);
+    # bump when selfcol_overflow reports slot exhaustion on contact-rich
+    # scenes (budget C costs one (n,C) one-hot pair per layer in HBM)
+    compact_budgets: object = None
 
 
 def _gmres_cycle(op, b, x0, m: int):
@@ -332,11 +350,16 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         else:
             r = jnp.zeros_like(f)
         if use_self and self_cfg.ablate == "":
-            tables, _ = selfc
-            r = sc.self_friction_tables(f, tables, m, r,
-                                        self_cfg.max_layers,
-                                        ct.dry_friction_force,
-                                        differentiable=differentiable)
+            fric_data, _ = selfc
+            if self_cfg.friction_impl == "compact":
+                r = sc.self_friction_compact(f, fric_data, params.density,
+                                             m, r, ct.dry_friction_force)
+            else:
+                r = sc.self_friction_tables(f, fric_data, m, r,
+                                            self_cfg.max_layers,
+                                            ct.dry_friction_force,
+                                            differentiable=differentiable,
+                                            unroll=self_cfg.friction_unroll)
         return r
 
     def btilde_of(params, m, f_ext, x_n, v_n, x_eval, x_fixed, y_n=None):
@@ -404,6 +427,21 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             contact = ct.ContactSet(
                 mask=jnp.zeros((n,), bool), normal=jnp.zeros_like(x_n),
                 v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
+        def compactify(tables, overflow):
+            """tables -> per-layer compact slots (once per step); layers
+            beyond the compact budget are dropped AND flagged."""
+            if self_cfg.friction_impl != "compact" or \
+                    self_cfg.ablate == "detect_only":
+                return tables, overflow
+            budgets = self_cfg.compact_budgets or sc.compact_slot_budgets(
+                min(self_cfg.compact_layers, self_cfg.max_layers))
+            budgets = tuple(min(c, n) for c in budgets)
+            compact = sc.build_compact_layers(
+                tables, scene.area.astype(x_n.dtype), n, budgets)
+            overflow = (overflow | compact.overflow |
+                        (tables.n_layers > len(budgets)))
+            return compact, overflow
+
         if use_self:
             if self_cfg.method == "pallas":
                 # scatter-free end to end: symmetric kernel partner table
@@ -421,9 +459,10 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                     selfc = (sc.empty_layer_tables(
                         n, self_cfg.max_layers, x_n.dtype), overflow)
                 else:
-                    selfc = scp.detect_tables_pallas(
+                    tables, overflow = scp.detect_tables_pallas(
                         self_cfg.allowed, scene.radii, x_n, v_iter0, h,
                         self_cfg.k_partners, self_cfg.max_layers)
+                    selfc = compactify(tables, overflow)
             else:
                 if self_cfg.method == "matrix":
                     cs = sc.detect_self_collisions_matrix(
@@ -438,9 +477,9 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                         n, self_cfg.max_layers, x_n.dtype), cs.overflow)
                 else:
                     cs = sc.assign_layers(cs, n, self_cfg.max_layers)
-                    selfc = (sc.build_layer_tables(cs, n,
-                                                   self_cfg.max_layers),
-                             cs.overflow)
+                    selfc = compactify(
+                        sc.build_layer_tables(cs, n, self_cfg.max_layers),
+                        cs.overflow)
         else:
             selfc = (sc.empty_layer_tables(n, 1, x_n.dtype),
                      jnp.asarray(False))

@@ -292,6 +292,45 @@ def test_symmetric_tables_overflow_and_vmap():
         assert int(counts[b]) == 2 * int(np.asarray(cs_m.mask).sum()), b
 
 
+def test_compact_friction_matches_tables():
+    """The MXU-matmul compact friction (production PD-loop path) must
+    reproduce the gather-path table friction exactly: one-hot contractions
+    are single products, so the matmuls are bitwise selections."""
+    from diffcloth_tpu.core import contact as ct
+    rng = np.random.RandomState(7)
+    n = 120
+    x, v, radii, conn = random_config(7, n=n, n_adj=60)
+    radii = jnp.asarray(np.abs(rng.rand(n)) * 0.12 + 0.05)
+    cand = sc.build_candidate_pairs(conn)
+    cs = sc.detect_self_collisions(jnp.asarray(cand, jnp.int32), radii, x, v,
+                                   0.05, cap_pairs=1024)
+    L = 16
+    cs = sc.assign_layers(cs, n, max_layers=L)
+    tables = sc.build_layer_tables(cs, n, L)
+    n_layers = int(tables.n_layers)
+    assert n_layers >= 2, n_layers
+
+    area = jnp.asarray(rng.rand(n) + 0.2)
+    density = jnp.asarray(1.7)
+    mass = density * area
+    f = jnp.asarray(rng.randn(n, 3))
+    r0 = jnp.asarray(rng.randn(n, 3) * 0.1)
+
+    budgets = tuple(min(c, n) for c in sc.compact_slot_budgets(n_layers))
+    compact = sc.build_compact_layers(tables, area, n, budgets)
+    assert not bool(compact.overflow)
+    r_ref = sc.self_friction_tables(f, tables, mass, r0, L,
+                                    ct.dry_friction_force)
+    r_cmp = sc.self_friction_compact(f, compact, density, mass, r0,
+                                     ct.dry_friction_force)
+    np.testing.assert_allclose(np.asarray(r_cmp), np.asarray(r_ref),
+                               rtol=1e-12, atol=1e-14)
+
+    # slot-budget overflow must be flagged
+    tiny = sc.build_compact_layers(tables, area, n, (2,))
+    assert bool(tiny.overflow)
+
+
 def test_detectors_emit_unique_pairs():
     """SelfContactSet precondition (documented on the class): active slots
     hold DISTINCT unordered pairs.  build_layer_tables scatters with

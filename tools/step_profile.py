@@ -38,6 +38,11 @@ def main():
                     help="number of 25-step chunks to run (250 = full ep)")
     ap.add_argument("--method", default=None,
                     help="self-collision detector override")
+    ap.add_argument("--fric-unroll", type=int, default=0,
+                    help="static friction unroll bound (0 = dynamic while)")
+    ap.add_argument("--fric-impl", default="compact",
+                    choices=["compact", "tables"],
+                    help="friction implementation (see SelfColConfig)")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +69,10 @@ def main():
         kw["self_ablate"] = "nofric"
     if args.mode == "detectonly":
         kw["self_ablate"] = "detect_only"
+    if args.fric_unroll:
+        kw["self_friction_unroll"] = args.fric_unroll
+    kw["self_friction_impl"] = ("tables" if args.fric_unroll
+                                else args.fric_impl)
     t0 = time.time()
     sim = ClothSim(scene, **kw)
     print(f"sim built in {time.time() - t0:.0f}s "
@@ -151,7 +160,10 @@ def main():
 
     t0 = time.time()
     sps, conv, iters, ips = forward_throughput(sim, base, p_inv, xfs, B)
-    print(json.dumps({"mode": args.mode, "B": B, "steps": sim.n_steps,
+    mode_tag = args.mode + (f"_unroll{args.fric_unroll}"
+                            if args.fric_unroll else
+                            f"_{args.fric_impl}")
+    print(json.dumps({"mode": mode_tag, "B": B, "steps": sim.n_steps,
                       "steps_per_sec": round(sps, 1),
                       "conv_frac": round(conv, 3),
                       "mean_iters": round(iters, 1),
