@@ -530,7 +530,8 @@ class CompactLayers(NamedTuple):
     on opposite sides of the cap), so `overflow` must gate trust in the
     step exactly like detection overflow does."""
     exp: tuple       # per layer: (n, C_l) one-hot of row index
-    sel: tuple       # per layer: (n, C_l) one-hot of partner index
+    selcat: tuple    # per layer: (n, 2*C_l) [row one-hot | partner one-hot]
+    #                  — ONE select matmul reads the force state once
     normal: tuple    # per layer: (C_l, 3) row-signed normal
     area_row: tuple  # per layer: (C_l,) lumped area of the row vertex
     area_part: tuple # per layer: (C_l,) lumped area of the partner vertex
@@ -539,8 +540,11 @@ class CompactLayers(NamedTuple):
 
 def compact_slot_budgets(n_layers: int, c0: int = 256,
                          c_rest: int = 128) -> tuple:
-    """Static per-layer slot budgets: layer 0 carries most contacts."""
-    return tuple([c0] + [c_rest] * max(n_layers - 1, 0))
+    """Static per-layer slot budgets, tapered: greedy matching packs most
+    pairs into the earliest layers (measured tshirt rollouts: <=3 layers,
+    <=77 pairs total), and per-slot cost is one-hot HBM traffic."""
+    taper = [c0] + [c_rest] + [c_rest // 2] * max(n_layers - 2, 0)
+    return tuple(taper[:max(n_layers, 1)])
 
 
 def build_compact_layers(tables: SelfContactTables, area: jnp.ndarray,
@@ -566,13 +570,16 @@ def build_compact_layers(tables: SelfContactTables, area: jnp.ndarray,
         valid = row_idx >= 0
         rc = jnp.maximum(row_idx, 0)
         pc = jnp.maximum(part_idx, 0)
-        exp.append((iota[:, None] == row_idx[None, :]).astype(area.dtype))
-        sel.append((iota[:, None] == part_idx[None, :]).astype(area.dtype))
+        e = (iota[:, None] == row_idx[None, :]).astype(area.dtype)
+        s = (iota[:, None] == part_idx[None, :]).astype(area.dtype)
+        exp.append(e)
+        sel.append(jnp.concatenate([e, s], axis=1))
         nrm.append(jnp.where(valid[:, None],
                              tables.normal[l][rc], 0.0))
         a_row.append(jnp.where(valid, area[rc], 0.0))
         a_part.append(jnp.where(valid, area[pc], 0.0))
-    return CompactLayers(exp=tuple(exp), sel=tuple(sel), normal=tuple(nrm),
+    return CompactLayers(exp=tuple(exp), selcat=tuple(sel),
+                         normal=tuple(nrm),
                          area_row=tuple(a_row), area_part=tuple(a_part),
                          overflow=overflow)
 
@@ -600,22 +607,26 @@ def self_friction_compact(f: jnp.ndarray, compact: CompactLayers,
         else:
             from diffcloth_tpu.core import dense_ops as _dn
             precision = _dn.HI
-    m_safe = jnp.maximum(mass, 1e-30)
-    r = r_init
-    for exp_l, sel_l, nrm_l, ar_l, ap_l in zip(
-            compact.exp, compact.sel, compact.normal,
+    # carry fr = f + r directly: per layer ONE select matmul reads fr once
+    # ([row|partner] one-hots concatenated), the division happens in slot
+    # space (selection of fr/m == selection of fr, then divide — exact),
+    # and the scatter-back updates fr in place.  Saves the (B,n,3) fhat
+    # materialization + second full-state read per layer (HBM-bound).
+    fr = f + r_init
+    for exp_l, selcat_l, nrm_l, ar_l, ap_l in zip(
+            compact.exp, compact.selcat, compact.normal,
             compact.area_row, compact.area_part):
-        fhat = (f + r) / m_safe[:, None]
-        vals_row = jnp.matmul(exp_l.T, fhat, precision=precision)
-        vals_part = jnp.matmul(sel_l.T, fhat, precision=precision)
-        d = vals_row - vals_part
+        C = exp_l.shape[1]
+        vals = jnp.matmul(selcat_l.T, fr, precision=precision)   # (2C,3)
         m_row = density * ar_l
         m_part = density * ap_l
+        d = (vals[:C] / jnp.maximum(m_row, 1e-30)[:, None]
+             - vals[C:] / jnp.maximum(m_part, 1e-30)[:, None])
         k_red = m_row * m_part / jnp.maximum(m_row + m_part, 1e-30)
         mu = jnp.full(ar_l.shape, MU_CLOTH, f.dtype)
         r_slot = k_red[:, None] * dry_friction_force(nrm_l, d, mu)
-        r = r + jnp.matmul(exp_l, r_slot, precision=precision)
-    return r
+        fr = fr + jnp.matmul(exp_l, r_slot, precision=precision)
+    return fr - f   # == r_init + sum of per-layer contributions
 
 
 def empty_layer_tables(n_particles: int, max_layers: int,
