@@ -85,8 +85,19 @@ def main():
         t0 = time.time()
         recs = task.sim.rollout_chunked(task.param_base)
         jax.block_until_ready(recs.steps.x)
-        stats = EpisodeStats.from_records(recs, forward_s=time.time() - t0)
+        cold_s = time.time() - t0
+        # warm re-run: the chunk executables are compiled now, so this is
+        # the steady-state forward throughput (the cold number above is
+        # dominated by XLA compilation)
+        t0 = time.time()
+        recs = task.sim.rollout_chunked(task.param_base)
+        jax.block_until_ready(recs.steps.x)
+        warm_s = time.time() - t0
+        stats = EpisodeStats.from_records(recs, forward_s=warm_s)
         print(stats.report())
+        print(f"[timing] cold (incl. compile) {cold_s:.1f}s, warm "
+              f"{warm_s:.1f}s = {task.sim.n_steps / warm_s:.1f} steps/s",
+              flush=True)
         ioexp.export_episode(out_dir, recs, task.sim.scene_host.tris,
                              stats={"episode_report": stats.report()})
         print("exported episode to", out_dir)

@@ -351,7 +351,20 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             r = jnp.zeros_like(f)
         if use_self and self_cfg.ablate == "":
             fric_data, _ = selfc
-            if self_cfg.friction_impl == "compact":
+            if self_cfg.friction_impl == "pallas":
+                compact, kl = fric_data
+                if differentiable:
+                    # the residual VJP path: same function, XLA compact
+                    # matmuls (the kernel has no autodiff rule)
+                    r = sc.self_friction_compact(
+                        f, compact, params.density, m, r,
+                        ct.dry_friction_force)
+                else:
+                    from diffcloth_tpu.core import friction_pallas as fp
+                    r = fp.self_friction_kernel(
+                        f, kl, r, min(self_cfg.compact_layers,
+                                      self_cfg.max_layers))
+            elif self_cfg.friction_impl == "compact":
                 r = sc.self_friction_compact(f, fric_data, params.density,
                                              m, r, ct.dry_friction_force)
             else:
@@ -429,17 +442,27 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 v_out=jnp.zeros_like(x_n), prim_id=jnp.zeros((n,), jnp.int32))
         def compactify(tables, overflow):
             """tables -> per-layer compact slots (once per step); layers
-            beyond the compact budget are dropped AND flagged."""
-            if self_cfg.friction_impl != "compact" or \
+            beyond the compact budget are dropped AND flagged.  The
+            'pallas' impl additionally builds the kernel slot data (the
+            XLA compact form still backs the residual VJP)."""
+            if self_cfg.friction_impl not in ("compact", "pallas") or \
                     self_cfg.ablate == "detect_only":
                 return tables, overflow
-            budgets = self_cfg.compact_budgets or sc.compact_slot_budgets(
-                min(self_cfg.compact_layers, self_cfg.max_layers))
+            n_lay = min(self_cfg.compact_layers, self_cfg.max_layers)
+            budgets = self_cfg.compact_budgets or \
+                sc.compact_slot_budgets(n_lay)
             budgets = tuple(min(c, n) for c in budgets)
             compact = sc.build_compact_layers(
                 tables, scene.area.astype(x_n.dtype), n, budgets)
             overflow = (overflow | compact.overflow |
                         (tables.n_layers > len(budgets)))
+            if self_cfg.friction_impl == "pallas":
+                from diffcloth_tpu.core import friction_pallas as fp
+                kl = fp.build_kernel_layers(
+                    tables, scene.area.astype(x_n.dtype), params.density,
+                    n, budget=max(budgets), n_layers=n_lay)
+                overflow = overflow | kl.overflow
+                return (compact, kl), overflow
             return compact, overflow
 
         if use_self:

@@ -331,6 +331,62 @@ def test_compact_friction_matches_tables():
     assert bool(tiny.overflow)
 
 
+def test_pallas_friction_kernel_matches_compact():
+    """The in-VMEM friction kernel (interpret mode on CPU) must match the
+    XLA compact path — same slot semantics, same dry-friction case split —
+    to f32 rounding, single and vmapped."""
+    from diffcloth_tpu.core import contact as ct
+    from diffcloth_tpu.core import friction_pallas as fp
+    rng = np.random.RandomState(9)
+    n = 120
+    x, v, radii, conn = random_config(9, n=n, n_adj=60)
+    radii = jnp.asarray((np.abs(rng.rand(n)) * 0.12 + 0.05)
+                        .astype(np.float32))
+    x = jnp.asarray(np.asarray(x, np.float32))
+    v = jnp.asarray(np.asarray(v, np.float32))
+    cand = sc.build_candidate_pairs(conn)
+    cs = sc.detect_self_collisions(jnp.asarray(cand, jnp.int32), radii, x,
+                                   v, 0.05, cap_pairs=1024)
+    L = 16
+    cs = sc.assign_layers(cs, n, max_layers=L)
+    tables = sc.build_layer_tables(cs, n, L)
+    n_lay = max(int(tables.n_layers), 2)
+
+    area = jnp.asarray((rng.rand(n) + 0.2).astype(np.float32))
+    density = jnp.asarray(1.7, jnp.float32)
+    mass = density * area
+    f = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    r0 = jnp.asarray((rng.randn(n, 3) * 0.1).astype(np.float32))
+
+    budgets = tuple(min(c, n) for c in sc.compact_slot_budgets(n_lay))
+    compact = sc.build_compact_layers(tables, area, n, budgets)
+    r_ref = sc.self_friction_compact(f, compact, density, mass, r0,
+                                     ct.dry_friction_force)
+    kl = fp.build_kernel_layers(tables, area, density, n,
+                                budget=max(budgets), n_layers=n_lay)
+    assert not bool(kl.overflow)
+    r_k = fp.self_friction_kernel(f, kl, r0, n_lay, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                               rtol=2e-5, atol=1e-6)
+
+    # vmapped (the production batched call site)
+    B = 3
+    fs = jnp.stack([f, f * 0.5, -f])
+    r0s = jnp.stack([r0, r0, jnp.zeros_like(r0)])
+
+    def one(fb, rb):
+        klb = fp.build_kernel_layers(tables, area, density, n,
+                                     budget=max(budgets), n_layers=n_lay)
+        return fp.self_friction_kernel(fb, klb, rb, n_lay, interpret=True)
+
+    rk_b = jax.jit(jax.vmap(one))(fs, r0s)
+    for b in range(B):
+        rr = sc.self_friction_compact(fs[b], compact, density, mass,
+                                      r0s[b], ct.dry_friction_force)
+        np.testing.assert_allclose(np.asarray(rk_b[b]), np.asarray(rr),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_detectors_emit_unique_pairs():
     """SelfContactSet precondition (documented on the class): active slots
     hold DISTINCT unordered pairs.  build_layer_tables scatters with

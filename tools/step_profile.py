@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--fric-unroll", type=int, default=0,
                     help="static friction unroll bound (0 = dynamic while)")
     ap.add_argument("--fric-impl", default="compact",
-                    choices=["compact", "tables"],
+                    choices=["compact", "tables", "pallas"],
                     help="friction implementation (see SelfColConfig)")
     args = ap.parse_args()
 
