@@ -147,10 +147,13 @@ def _kernel(frT_ref, idxcat_ref, row_ref, nrmT_ref, kred_ref, imr_ref,
 
 def _friction_grid(frT_b, kl_idxcat, kl_row, kl_nrmT, kl_kred, kl_imr,
                    kl_imp, *, n_layers: int, interpret: bool,
-                   block_b: int = 8):
+                   block_b: int = None):
     """Natively batched launch: frT_b (B, 8, n_pad).  Batch blocks of
     `block_b` samples per grid step (one TensorCore — the block just
     amortizes grid-step overhead)."""
+    import os
+    if block_b is None:
+        block_b = int(os.environ.get("DIFFCLOTH_FRIC_BLOCK_B", "8"))
     B = frT_b.shape[0]
     n_pad = frT_b.shape[-1]
     Bb = max(1, min(block_b, B))
@@ -214,13 +217,17 @@ def self_friction_kernel(f: jnp.ndarray, kl: KernelLayers,
                          interpret: bool | None = None) -> jnp.ndarray:
     """Drop-in for self_friction_compact on the forward PD path: returns
     r_init + per-layer friction contributions.  f, r_init: (n, 3)."""
+    import os
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = f.shape[0]
     n_pad = _round_up(n, 128)
     fr = (f + r_init).astype(jnp.float32)
     frT = jnp.zeros((8, n_pad), jnp.float32).at[0:3, 0:n].set(fr.T)
-    out = _friction_fn(n_layers, interpret)(
-        frT, kl.idxcat, kl.row_idx, kl.normalT, kl.k_red, kl.inv_m_row,
-        kl.inv_m_part)
+    if os.environ.get("DIFFCLOTH_FRIC_KERNEL_BYPASS", "") == "1":
+        out = frT   # profiling ablation: transposes + pad only, no kernel
+    else:
+        out = _friction_fn(n_layers, interpret)(
+            frT, kl.idxcat, kl.row_idx, kl.normalT, kl.k_red,
+            kl.inv_m_row, kl.inv_m_part)
     return r_init.astype(f.dtype) + (out[0:3, 0:n].T - fr).astype(f.dtype)
