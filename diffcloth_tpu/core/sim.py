@@ -103,13 +103,14 @@ class ClothSim:
                  self_method: Optional[str] = None,
                  self_k_partners: Optional[int] = None,
                  self_ablate: str = "", self_friction_unroll: int = 0,
-                 self_friction_impl: str = "compact",
+                 self_friction_impl: Optional[str] = None,
                  self_compact_layers: int = 4,
                  self_compact_budgets: Optional[tuple] = None,
                  dense_ops: Optional[bool] = None,
                  sparse_ops: Optional[bool] = None,
                  solve_mode: Optional[str] = None,
-                 cg_max_iters: int = 64, cg_rtol: float = 1e-6):
+                 cg_max_iters: int = 64, cg_rtol: float = 1e-6,
+                 plateau_window: int = 12):
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
@@ -221,6 +222,13 @@ class ClothSim:
                 allowed_dev = jnp.asarray(allowed)
                 if self_k_partners is None:
                     self_k_partners = 6
+            if self_friction_impl is None:
+                # in-VMEM Pallas friction kernel on TPU (r4 bisection:
+                # fastest exact full-contact path); XLA compact matmuls
+                # elsewhere (the kernel's interpret mode is for tests)
+                self_friction_impl = ("pallas"
+                                      if jax.default_backend() == "tpu"
+                                      else "compact")
             cap = self_cap_pairs or max(128, scene.n // 2)
             window = min(self_window, scene.n - 1)
             self_cfg = step_mod.SelfColConfig(
@@ -279,7 +287,7 @@ class ClothSim:
                 max_forward_iters=max_forward_iters, solve_fn=solve_fn,
                 self_cfg=self_cfg, dense=dnops, sparse=spops,
                 solve_mode=solve_mode, cg_max_iters=cg_max_iters,
-                cg_rtol=cg_rtol)
+                cg_rtol=cg_rtol, plateau_window=plateau_window)
             self.steps.append(st)
             self.residuals.append(rs)
         self.step = self.steps[0]

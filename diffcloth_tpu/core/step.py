@@ -213,7 +213,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
               solve_fn=None, self_cfg: Optional[SelfColConfig] = None,
               dense: Optional[dn.DenseOps] = None, sparse=None,
               solve_mode: str = "dense", cg_max_iters: int = 64,
-              cg_rtol: float = 1e-6):
+              cg_rtol: float = 1e-6, plateau_window: int = 12):
     """Build the custom-VJP PD step for one attachment stage.
 
     Topology tensors (scene/stage/prims) are baked as trace-time constants;
@@ -561,8 +561,10 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         # not improved for PLATEAU_WINDOW sweeps there is no more progress
         # available at this precision, so stopping at the best iterate is
         # lossless.  (f64 runs hit eps first; the reference never needs this
-        # because it is all-f64.)
-        PLATEAU_WINDOW = 12
+        # because it is all-f64.)  The window is the confirm cost paid per
+        # step at plateau exit; see ClothSim(plateau_window=...) for the
+        # RMSE-validated default.
+        PLATEAU_WINDOW = plateau_window
 
         def body(c: Carry):
             x_new, v_new, f, r = one_iter(c.x_now, c.v_now)

@@ -40,8 +40,8 @@ def main():
                     help="self-collision detector override")
     ap.add_argument("--fric-unroll", type=int, default=0,
                     help="static friction unroll bound (0 = dynamic while)")
-    ap.add_argument("--fric-impl", default="compact",
-                    choices=["compact", "tables", "pallas"],
+    ap.add_argument("--fric-impl", default="auto",
+                    choices=["auto", "compact", "tables", "pallas"],
                     help="friction implementation (see SelfColConfig)")
     args = ap.parse_args()
 
@@ -71,8 +71,10 @@ def main():
         kw["self_ablate"] = "detect_only"
     if args.fric_unroll:
         kw["self_friction_unroll"] = args.fric_unroll
-    kw["self_friction_impl"] = ("tables" if args.fric_unroll
-                                else args.fric_impl)
+    if args.fric_unroll:
+        kw["self_friction_impl"] = "tables"
+    elif args.fric_impl != "auto":
+        kw["self_friction_impl"] = args.fric_impl
     t0 = time.time()
     sim = ClothSim(scene, **kw)
     print(f"sim built in {time.time() - t0:.0f}s "
