@@ -620,9 +620,21 @@ def self_friction_compact(f: jnp.ndarray, compact: CompactLayers,
         vals = jnp.matmul(selcat_l.T, fr, precision=precision)   # (2C,3)
         m_row = density * ar_l
         m_part = density * ap_l
-        d = (vals[:C] / jnp.maximum(m_row, 1e-30)[:, None]
-             - vals[C:] / jnp.maximum(m_part, 1e-30)[:, None])
-        k_red = m_row * m_part / jnp.maximum(m_row + m_part, 1e-30)
+        # masked reciprocals, then MULTIPLY: dividing by the 1e-30 guard
+        # makes the division VJP square the guard, which UNDERFLOWS f32
+        # (1e-60 -> 0) and turns empty slots' 0-valued cotangents into
+        # 0/0 = NaN in dL/d(density) — caught on the dress task (f64 CPU
+        # tests cannot see it)
+        # double-where: the reciprocal's operand must itself be guarded,
+        # or the untaken branch's VJP still computes -cot/m^2 at m=0
+        m_row_safe = jnp.where(ar_l > 0, m_row, 1.0)
+        m_part_safe = jnp.where(ap_l > 0, m_part, 1.0)
+        imr = jnp.where(ar_l > 0, 1.0 / m_row_safe, 0.0)
+        imp = jnp.where(ap_l > 0, 1.0 / m_part_safe, 0.0)
+        d = vals[:C] * imr[:, None] - vals[C:] * imp[:, None]
+        msum = m_row + m_part
+        msum_safe = jnp.where(msum > 0, msum, 1.0)   # same underflow trap
+        k_red = jnp.where(msum > 0, m_row * m_part / msum_safe, 0.0)
         mu = jnp.full(ar_l.shape, MU_CLOTH, f.dtype)
         r_slot = k_red[:, None] * dry_friction_force(nrm_l, d, mu)
         fr = fr + jnp.matmul(exp_l, r_slot, precision=precision)

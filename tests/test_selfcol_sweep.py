@@ -331,6 +331,37 @@ def test_compact_friction_matches_tables():
     assert bool(tiny.overflow)
 
 
+def test_compact_friction_density_grad_finite_f32():
+    """f32 regression: empty compact slots must not NaN dL/d(density).
+    The division VJP squares the 1e-30 mass guard, which underflows f32
+    (1e-60 -> 0) and yields 0/0 for empty slots — caught on the dress
+    optimization (its f64 CPU counterpart cannot reproduce it)."""
+    from diffcloth_tpu.core import contact as ct
+    rng = np.random.RandomState(21)
+    n = 64
+    partner = np.full((4, n), -1, np.int32)
+    partner[0, 0], partner[0, 1] = 1, 0        # a single contact pair
+    normal = np.zeros((4, n, 3), np.float32)
+    normal[0, 0] = [1, 0, 0]
+    normal[0, 1] = [-1, 0, 0]
+    tables = sc.SelfContactTables(
+        partner=jnp.asarray(partner), normal=jnp.asarray(normal),
+        n_layers=jnp.asarray(1, jnp.int32))
+    area = jnp.asarray(rng.rand(n).astype(np.float32) + 0.2)
+    compact = sc.build_compact_layers(tables, area, n, (32, 32))
+    f = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+
+    def loss(density):
+        mass = density * area
+        r = sc.self_friction_compact(f, compact, density, mass,
+                                     jnp.zeros_like(f),
+                                     ct.dry_friction_force)
+        return jnp.sum(r * r)
+
+    g = jax.grad(loss)(jnp.asarray(0.3, jnp.float32))
+    assert np.isfinite(float(g)), g
+
+
 def test_pallas_friction_kernel_matches_compact():
     """The in-VMEM friction kernel (interpret mode on CPU) must match the
     XLA compact path — same slot semantics, same dry-friction case split —
