@@ -111,6 +111,20 @@ class ClothSim:
                  solve_mode: Optional[str] = None,
                  cg_max_iters: int = 64, cg_rtol: float = 1e-6,
                  plateau_window: int = 12):
+        # persistent XLA compilation cache: contact programs cost minutes
+        # of (remote) compile; cache hits make repeat processes start in
+        # seconds.  Idempotent; opt out with DIFFCLOTH_NO_COMPILE_CACHE=1.
+        import os
+        if not os.environ.get("DIFFCLOTH_NO_COMPILE_CACHE"):
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/diffcloth_jax_cache"))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 5)
+            except Exception:
+                pass
         cfg = scene.cfg
         self.scene_host = scene
         self.cfg = cfg
