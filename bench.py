@@ -179,6 +179,7 @@ def run_extras(sim, base):
             extras["backward_vg_steps_per_sec"] = round(bwd, 1)
             extras["backward_vs_baseline"] = round(
                 bwd / BASELINE_BWD_STEPS_PER_SEC, 1)
+            extras.pop("backward_error", None)
         except Exception as e:
             extras["backward_error"] = repr(e)[:200]
         save()
@@ -198,6 +199,7 @@ def run_extras(sim, base):
             extras["f64_cpu_eps1e8_steps_per_sec"] = row["steps_per_sec"]
             extras["f64_cpu_mean_iters"] = row["mean_iters"]
             extras["f64_cpu_converged_frac"] = row["converged_frac"]
+            extras.pop("f64_row_error", None)
         except Exception as e:
             extras["f64_row_error"] = repr(e)[:200]
         save()

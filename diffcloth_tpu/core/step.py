@@ -426,6 +426,36 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             return sv
         return solve_fn
 
+    # -- compact friction slot builders (shared by forward and step_bwd) --
+
+    def _compact_budgets():
+        n_lay = min(self_cfg.compact_layers, self_cfg.max_layers)
+        budgets = self_cfg.compact_budgets or sc.compact_slot_budgets(n_lay)
+        return tuple(min(c, n) for c in budgets)
+
+    def build_compact_for(tables, overflow, dtype):
+        budgets = _compact_budgets()
+        compact = sc.build_compact_layers(
+            tables, scene.area.astype(dtype), n, budgets)
+        overflow = (overflow | compact.overflow |
+                    (tables.n_layers > len(budgets)))
+        return compact, overflow
+
+    def rebuild_fric(selfc_save, dtype):
+        """Saved (tables, overflow) -> the selfc form `residual` expects.
+        Rebuilding the (n, C) one-hots here keeps them OUT of the stored
+        VJP residuals (HBM: they dwarf everything else at batch)."""
+        if not use_self or self_cfg.friction_impl not in (
+                "compact", "pallas") or self_cfg.ablate == "detect_only":
+            return selfc_save
+        tables, overflow = selfc_save
+        compact, overflow = build_compact_for(tables, overflow, dtype)
+        if self_cfg.friction_impl == "pallas":
+            # residual calls friction(differentiable=True), which only
+            # consumes the compact half
+            return ((compact, None), overflow)
+        return (compact, overflow)
+
     # -- forward PD loop ----------------------------------------------------
 
     def pd_forward(x_n, v_n, params, x_fixed, p_inv, t, step_idx):
@@ -444,26 +474,26 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             """tables -> per-layer compact slots (once per step); layers
             beyond the compact budget are dropped AND flagged.  The
             'pallas' impl additionally builds the kernel slot data (the
-            XLA compact form still backs the residual VJP)."""
+            XLA compact form still backs the residual VJP).
+
+            Returns (fric_data-selfc, save-selfc): the save form carries
+            only the SMALL partner tables — the (n, C) one-hot matrices
+            must NOT enter the custom-VJP residuals (at B=64 x 25-step
+            chunks they alone exhaust HBM); step_bwd rebuilds them."""
             if self_cfg.friction_impl not in ("compact", "pallas") or \
                     self_cfg.ablate == "detect_only":
-                return tables, overflow
-            n_lay = min(self_cfg.compact_layers, self_cfg.max_layers)
-            budgets = self_cfg.compact_budgets or \
-                sc.compact_slot_budgets(n_lay)
-            budgets = tuple(min(c, n) for c in budgets)
-            compact = sc.build_compact_layers(
-                tables, scene.area.astype(x_n.dtype), n, budgets)
-            overflow = (overflow | compact.overflow |
-                        (tables.n_layers > len(budgets)))
+                return (tables, overflow), (tables, overflow)
+            compact, overflow = build_compact_for(tables, overflow,
+                                                  x_n.dtype)
             if self_cfg.friction_impl == "pallas":
                 from diffcloth_tpu.core import friction_pallas as fp
+                n_lay = min(self_cfg.compact_layers, self_cfg.max_layers)
                 kl = fp.build_kernel_layers(
                     tables, scene.area.astype(x_n.dtype), params.density,
-                    n, budget=max(budgets), n_layers=n_lay)
+                    n, budget=_compact_budgets()[0], n_layers=n_lay)
                 overflow = overflow | kl.overflow
-                return (compact, kl), overflow
-            return compact, overflow
+                return ((compact, kl), overflow), (tables, overflow)
+            return (compact, overflow), (tables, overflow)
 
         if use_self:
             if self_cfg.method == "pallas":
@@ -481,11 +511,12 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                         tbl[:n, self_cfg.k_partners] > self_cfg.k_partners)
                     selfc = (sc.empty_layer_tables(
                         n, self_cfg.max_layers, x_n.dtype), overflow)
+                    selfc_save = selfc
                 else:
                     tables, overflow = scp.detect_tables_pallas(
                         self_cfg.allowed, scene.radii, x_n, v_iter0, h,
                         self_cfg.k_partners, self_cfg.max_layers)
-                    selfc = compactify(tables, overflow)
+                    selfc, selfc_save = compactify(tables, overflow)
             else:
                 if self_cfg.method == "matrix":
                     cs = sc.detect_self_collisions_matrix(
@@ -498,14 +529,16 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 if self_cfg.ablate == "detect_only":
                     selfc = (sc.empty_layer_tables(
                         n, self_cfg.max_layers, x_n.dtype), cs.overflow)
+                    selfc_save = selfc
                 else:
                     cs = sc.assign_layers(cs, n, self_cfg.max_layers)
-                    selfc = compactify(
+                    selfc, selfc_save = compactify(
                         sc.build_layer_tables(cs, n, self_cfg.max_layers),
                         cs.overflow)
         else:
             selfc = (sc.empty_layer_tables(n, 1, x_n.dtype),
                      jnp.asarray(False))
+            selfc_save = selfc
 
         # constants across PD iterations, hoisted out of the loop body
         y_n = apply_A_all(x_n)
@@ -596,7 +629,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         aux = StepAux(f=f_rec, r=out.r, converged=converged, iters=out.it,
                       avg_deformation=avg_def, max_deformation=max_def,
                       selfcol_overflow=selfc[1])
-        return x_new, v_new, aux, contact, selfc
+        return x_new, v_new, aux, contact, selfc_save
 
     # -- custom VJP ---------------------------------------------------------
 
@@ -607,15 +640,18 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         return x_new, v_new, aux
 
     def step_fwd(x, v, params, x_fixed, p_inv, t, step_idx):
-        x_new, v_new, aux, contact, selfc = pd_forward(
+        x_new, v_new, aux, contact, selfc_save = pd_forward(
             x, v, params, x_fixed, p_inv, t, step_idx)
-        res = (x, v, v_new, params, x_fixed, contact, selfc, p_inv, t,
+        res = (x, v, v_new, params, x_fixed, contact, selfc_save, p_inv, t,
                step_idx)
         return (x_new, v_new, aux), res
 
     def step_bwd(res, cots):
-        (x_n, v_n, v_new, params, x_fixed, contact, selfc, p_inv, t,
+        (x_n, v_n, v_new, params, x_fixed, contact, selfc_save, p_inv, t,
          step_idx) = res
+        # the saved self-contact form carries only the small partner
+        # tables; rebuild the compact slot matrices the residual needs
+        selfc = rebuild_fric(selfc_save, x_n.dtype)
         x_bar, v_bar, _aux_bar = cots
 
         # total cotangent on v_new: x_new = x_n + h v_new
