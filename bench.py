@@ -252,13 +252,11 @@ def main():
     p_inv = sim.p_inv(base)
     xfs = sim.x_fixed_seq(base)
 
-    # Default batch: 64.  With self-collision detection on (the reference's
-    # configuration) the vmapped contact program compiles in ~2 min at B=64
-    # but the axon remote compile does not return within 25 min at B>=128
-    # (round-3 on-chip bisection; round 2's B=256 bench died the same way
-    # plus a matrix-detector HBM blowup).  Override via argv for bigger
-    # chips/toolchains.
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # Default batch: 128 — validated on chip this round at 811.8 steps/s
+    # full-contact (output/step_profile_r4.log; the round-2/3 B>=128
+    # remote-compile blowups were the vmap-of-pallas batching, fixed by
+    # the natively-batched custom_vmap kernels).  Override via argv.
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     log(f"forward throughput B={B} (compile ~2 min)")
     steps_per_sec, conv_frac, mean_iters, iters_per_sec = \
         forward_throughput(sim, base, p_inv, xfs, B)
