@@ -143,13 +143,29 @@ def apply_At(dense: DenseOps, k_pertype, d_s, d_b, d_a, d_sp=None):
 
 
 def weighted_S(dense: DenseOps, k_pertype):
-    """Sk = sum_t k_t S_t, hoisted once per step outside the PD loop."""
+    """Sk = sum_t k_t S_t, hoisted once per step outside the PD loop.
+
+    WARNING: under vmap with a batched k_pertype this materializes a
+    (B, n, n) matrix — 520 MB at tshirt B=64 — built per step AND re-read
+    by every PD iteration's apply_S (the r5 trace's second-largest cost).
+    Batched callers must use apply_S_pertype instead."""
     return jnp.tensordot(k_pertype, dense.S, axes=1)
 
 
 def apply_S(Sk, v):
     """(A^T A) v with stiffness baked into Sk."""
     return jnp.matmul(Sk, v, precision=HI)
+
+
+def apply_S_pertype(S, k_pertype, v):
+    """(sum_t k_t S_t) v as per-type matvecs then a weighted sum.
+
+    The S_t stay UNBATCHED under vmap (shared MXU weights, batched
+    activations) — the k contraction happens on the (T, n, 3) matvec
+    outputs, so no (B, n, n) matrix ever exists.  Exact same math as
+    apply_S(weighted_S(k), v) up to f32 summation order."""
+    u = jnp.einsum("tnm,mk->tnk", S, v, precision=HI)
+    return jnp.tensordot(k_pertype, u, axes=1)
 
 
 # ---------------------------------------------------------------------------

@@ -1,35 +1,46 @@
-"""Pallas TPU kernel for the layered self-friction application.
+"""Pallas TPU kernels for the layered self-friction application — forward
+AND transposed-linearization backward.
 
 The r4 on-chip bisection isolated the ENTIRE full-contact slowdown (B=64
-tshirt: 380 vs 5190 steps/s) in the per-PD-iteration self-friction.  The
-XLA compact-matmul path (selfcol.self_friction_compact) removed the
-pathological batched row gathers but still streams its per-layer one-hot
-matrices and the (B, n, 3) force state through HBM on every PD iteration
-(~5 ms/iter at B=64).
+tshirt: 380 vs 5190 steps/s) in the per-PD-iteration self-friction, and
+measured it IMPLEMENTATION-INDEPENDENT across dense gathers, XLA one-hot
+matmuls and the first in-VMEM kernel.  The r5 diagnosis: all three pay an
+MXU *weight-load* cost proportional to the one-hot area — a (n_pad, 2C)
+select matrix is ~50 128x128 weight tiles at C=256, streamed with only
+M=8 useful activation rows, so each layer costs ~10 us/sample regardless
+of how few contacts exist.  Real rollouts have ~20-77 active pairs in 0-3
+populated layers (tools/friction_profile.py) against a 4x256-slot budget:
+>90 % of the streamed one-hot columns are empty.
 
-This kernel runs the WHOLE layered Gauss-Seidel sweep in VMEM:
+This kernel makes the cost proportional to the CONTACTS, not the budget:
 
-  per sample: load frT = (f + r)^T once (8, n_pad)
-    for each contact layer l (static unroll):
-      one-hot_cat (n_pad, 2C) built in VMEM from the slot indices (VPU
-        iota-compare — never touches HBM)
-      vals (8, 2C) = frT @ one-hot_cat          (MXU, contraction n_pad)
-      d (3, C)     = vals_row * inv_m_row - vals_part * inv_m_part
-      r_slot (3,C) = k_red * dry_friction(normalT, d, mu)   (VPU)
-      frT         += r_slot8 @ one-hot_row^T     (MXU scatter-back)
-  store frT once
+  * per-layer slot budgets are the SAME tapered tuple the XLA compact
+    path uses (forward and the residual VJP drop identically — the r4
+    uniform-budget kernel could disagree with the residual's tapered
+    rebuild and silently corrupt gradients);
+  * per-layer active-slot counts ride in SMEM; the kernel skips empty
+    128-slot column chunks and empty layers entirely (lax.cond), so a
+    contact-free step costs two (8, n_pad) VMEM copies and nothing else;
+  * the backward kernel applies the TRANSPOSED linearization of the
+    layered Gauss-Seidel sweep (reverse layer order, per-slot 3x3
+    friction Jacobians from saved select values) with the same chunk
+    skipping — this is the matvec the implicit-adjoint fixed point
+    applies 10-400 times per step (step.py step_bwd), previously the
+    dominant backward cost via XLA one-hot matmuls.
 
-HBM traffic per call: the force state in + out and KB-scale slot data —
-nothing else.  The transposed (8, n_pad) layout keeps every matmul's
-padded dimension at 8 sublanes instead of 128 lanes (a 42x MAC saving
-over the (n,3) orientation).
+`self_friction_kernel` is a `jax.custom_vjp` function: the forward PD
+loop and the custom-VJP residual call the SAME function, so forward and
+backward friction agree by construction.  Slot physics (reduced masses)
+are computed OUTSIDE the kernel from density so dL/d(density) chains
+through plain XLA math; the kernel returns cotangents for the slot-space
+(k_red, 1/m_row, 1/m_part) inputs.
 
 Math is op-for-op `selfcol.self_friction_compact` (same slot semantics,
-same dry_friction_force case split, same safe_norm guard), so the forward
-PD loop can use this kernel while the residual keeps the XLA path for its
-VJP — both evaluate the same function.
+same dry_friction_force case split, same safe_norm guard), tested to f32
+rounding in both values and VJPs (tests/test_selfcol_sweep.py).
 
-reference: calculateDryFrictionVector (Simulation.cpp:627-682).
+reference: calculateDryFrictionVector (Simulation.cpp:627-682);
+dr_df layer chain rule (Simulation.cpp:686-768).
 """
 from __future__ import annotations
 
@@ -44,64 +55,158 @@ from jax.experimental.pallas import tpu as pltpu
 
 MU_CLOTH = 0.1
 EPS = 1e-12       # constraints.EPS (safe_norm guard)
+CHUNK = 128       # lane-aligned slot chunk
+# One-hot contractions are single products per output, but Mosaic's f32 dot
+# rounds INPUTS to bf16 (one MXU pass) — ~0.3% on the selected values and
+# friction forces.  This matches the r4 production kernel (conv 1.0,
+# RMSE-validated) and keeps one MXU pass per one-hot tile; interpret mode
+# (CPU tests) is exact f32 either way.  DIFFCLOTH_FRIC_KERNEL_PRECISION=
+# HIGHEST opts into exact multi-pass selects (measured: Mosaic compile
+# stalls at tshirt scale — keep DEFAULT).
+import os as _os
+_DOT_PREC = getattr(
+    jax.lax.Precision,
+    _os.environ.get("DIFFCLOTH_FRIC_KERNEL_PRECISION", "DEFAULT").upper())
 
 
-class KernelLayers(NamedTuple):
-    """Per-step compact slot data for the friction kernel (indices + slot
-    physics — NO materialized one-hots; the kernel builds those in VMEM).
-    Shapes below are unbatched; the production call site vmaps them."""
-    idxcat: jnp.ndarray     # (L, 2C) int32 [row_idx | part_idx], -1 empty
-    row_idx: jnp.ndarray    # (L, C) int32
-    normalT: jnp.ndarray    # (L, 3, C) row-signed normal, transposed
-    k_red: jnp.ndarray      # (L, C) reduced mass (0 for empty slots)
-    inv_m_row: jnp.ndarray  # (L, C)
-    inv_m_part: jnp.ndarray # (L, C)
-    overflow: jnp.ndarray   # () bool
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def build_kernel_layers(tables, area: jnp.ndarray, density,
-                        n_particles: int, budget: int,
-                        n_layers: int) -> KernelLayers:
-    """Partner tables -> kernel slot data (once per step).  A UNIFORM slot
-    budget per layer keeps the kernel shapes static and simple."""
+def layer_specs(budgets: tuple):
+    """Static per-layer (start, c_pad, c_eff) in the concatenated slot
+    axis.  c_eff is the DROP budget (identical to the compact path's);
+    c_pad rounds it up to the 128-lane chunk."""
+    specs = []
+    start = 0
+    for c_eff in budgets:
+        c_pad = _round_up(max(int(c_eff), 1), CHUNK)
+        specs.append((start, c_pad, int(c_eff)))
+        start += c_pad
+    return tuple(specs), start      # (specs, total padded slots)
+
+
+class KernelGeom(NamedTuple):
+    """Density-INDEPENDENT per-step slot geometry for the friction kernels
+    (built once per step from the layer partner tables; ~15 KB per sample
+    — small enough to live in the step's VJP residuals directly, unlike
+    the (n, C) one-hot matrices of the XLA compact path).
+
+    All slot axes are the concatenated per-layer padded axis of
+    `layer_specs(budgets)`.  Index arrays travel as float32 so the whole
+    custom-VJP signature is float (exact for n <= 2^24)."""
+    idx_row: jnp.ndarray    # (TC,) f32 row vertex index, -1 empty
+    idx_part: jnp.ndarray   # (TC,) f32 partner vertex index, -1 empty
+    normalT: jnp.ndarray    # (3, TC) f32 row-signed normal
+    area_row: jnp.ndarray   # (TC,) f32 lumped area of the row vertex
+    area_part: jnp.ndarray  # (TC,) f32
+    counts: jnp.ndarray     # (L,) f32 active slots per layer
+    overflow: jnp.ndarray   # () bool — a layer exceeded its c_eff budget
+
+
+def build_kernel_geom(tables, area: jnp.ndarray, n_particles: int,
+                      budgets: tuple, x: jnp.ndarray | None = None
+                      ) -> KernelGeom:
+    """Partner tables -> kernel slot geometry (once per step).  Uses the
+    SAME per-layer drop rule as selfcol.build_compact_layers: the FIRST
+    budgets[l] active rows in index order are kept, the surplus dropped
+    and flagged.
+
+    SCATTER-FREE, SORT-FREE, GATHER-FREE: the r5 cost bisection measured
+    the previous cumsum+scatter compaction at ~20 ms/step at B=64 (365k
+    vmapped scatter updates lower to sequential per-index loops on TPU —
+    the actual source of r4's 'implementation-independent' full-contact
+    overhead), and a lax.top_k variant at the same cost (lowers to a full
+    sort).  Compaction here is pure compare-and-reduce: slot s's row is
+    the unique row with pos == s (pos = exclusive cumsum of the active
+    mask), extracted by an (n, C) equality mask and single-nonzero sums —
+    integer sums for indices (exact), f32 single-product sums for normals
+    and areas (exact, order-free).  Everything fuses on the VPU; nothing
+    sequentializes."""
     n = n_particles
-    C = _round_up(budget, 128)   # lane-aligned slot axis for the kernel
+    specs, TC = layer_specs(budgets)
     iota = jnp.arange(n, dtype=jnp.int32)
-    rows_l, cats_l, nrm_l, kr_l, imr_l, imp_l = [], [], [], [], [], []
+    a32 = area.astype(jnp.float32)
+    ir_l, ip_l, nrm_l, ar_l, ap_l, counts = [], [], [], [], [], []
     overflow = jnp.asarray(False)
-    for l in range(n_layers):
+    for l, (start, c_pad, c_eff) in enumerate(specs):
         p = tables.partner[l]
         has = p >= 0
         pos = jnp.cumsum(has.astype(jnp.int32)) - 1
-        tgt = jnp.where(has & (pos < C), pos, C)
-        row_idx = jnp.full((C,), -1, jnp.int32).at[tgt].set(
-            iota, mode="drop", unique_indices=True)
-        part_idx = jnp.full((C,), -1, jnp.int32).at[tgt].set(
-            p, mode="drop", unique_indices=True)
-        overflow = overflow | (jnp.sum(has) > C)
-        valid = row_idx >= 0
-        rc = jnp.maximum(row_idx, 0)
-        pc = jnp.maximum(part_idx, 0)
-        m_row = density * jnp.where(valid, area[rc], 0.0)
-        m_part = density * jnp.where(valid, area[pc], 0.0)
-        rows_l.append(row_idx)
-        cats_l.append(jnp.concatenate([row_idx, part_idx]))
-        nrm_l.append(jnp.where(valid[None, :],
-                               tables.normal[l][rc].T, 0.0))
-        kr_l.append(m_row * m_part / jnp.maximum(m_row + m_part, 1e-30))
-        imr_l.append(jnp.where(valid, 1.0 / jnp.maximum(m_row, 1e-30), 0.0))
-        imp_l.append(jnp.where(valid, 1.0 / jnp.maximum(m_part, 1e-30),
-                               0.0))
-    f32 = lambda a: jnp.stack(a).astype(jnp.float32)
-    return KernelLayers(
-        idxcat=jnp.stack(cats_l), row_idx=jnp.stack(rows_l),
-        normalT=f32(nrm_l), k_red=f32(kr_l),
-        inv_m_row=f32(imr_l), inv_m_part=f32(imp_l), overflow=overflow)
+        n_act = jnp.sum(has)
+        slot = jnp.arange(c_pad, dtype=jnp.int32)
+        eq = (has[:, None] & (pos[:, None] == slot[None, :])
+              & (slot[None, :] < c_eff))              # (n, c_pad)
+        eqi = eq.astype(jnp.int32)
+        valid = jnp.any(eq, axis=0)                   # (c_pad,)
+        pc = jnp.maximum(p, 0)
+        ir = jnp.sum(eqi * iota[:, None], axis=0)
+        ip = jnp.sum(eqi * pc[:, None], axis=0)
+        ar = jnp.sum(eq.astype(jnp.float32) * a32[:, None], axis=0)
+        # partner-side quantities via a second (c_pad, n) equality reduce
+        # (a direct a[p] lookup would be an (n,)-batched row gather — the
+        # slowest primitive on v5e)
+        eq2 = (ip[:, None] == iota[None, :]) & valid[:, None]
+        ap = jnp.sum(eq2.astype(jnp.float32) * a32[None, :], axis=1)
+        if x is not None:
+            # row-signed normal from positions, per SLOT: building the
+            # full (L, n, 3) normal table upstream costs an (L*n)-row
+            # batched x-gather (8.3 ms/step at B=64, the r5 trace's top
+            # op) for <= C actual contacts
+            x32 = x.astype(jnp.float32)
+            xr = jnp.sum(jnp.where(eq[:, :, None], x32[:, None, :], 0.0),
+                         axis=0)                          # (c_pad, 3)
+            xp = jnp.sum(jnp.where(eq2[:, :, None], x32[None, :, :], 0.0),
+                         axis=1)
+            dd = xr - xp
+            nrm = dd / jnp.maximum(
+                jnp.linalg.norm(dd, axis=-1, keepdims=True), 1e-12)
+        else:
+            nrm = jnp.sum(jnp.where(eq[:, :, None],
+                                    tables.normal[l].astype(jnp.float32)
+                                    [:, None, :], 0.0), axis=0)
+        ir_l.append(jnp.where(valid, ir, -1))
+        ip_l.append(jnp.where(valid, ip, -1))
+        nrm_l.append(jnp.where(valid[None, :], nrm.T, 0.0))
+        ar_l.append(jnp.where(valid, ar, 0.0))
+        ap_l.append(jnp.where(valid, ap, 0.0))
+        counts.append(jnp.minimum(n_act, c_eff))
+        overflow = overflow | (n_act > c_eff)
+    ir = jnp.concatenate(ir_l)
+    ip = jnp.concatenate(ip_l)
+    return KernelGeom(
+        idx_row=ir.astype(jnp.float32),
+        idx_part=ip.astype(jnp.float32),
+        normalT=jnp.concatenate(nrm_l, axis=1),
+        area_row=jnp.concatenate(ar_l),
+        area_part=jnp.concatenate(ap_l),
+        counts=jnp.stack(counts).astype(jnp.float32),
+        overflow=overflow)
 
 
-def _dff_T(nrmT, d, mu_scalar: float, k_red):
-    """dry_friction_force in (3, C) layout — op-for-op contact.py:223-239
-    with the safe_norm double-where, times k_red, masked by in_contact."""
+def slot_masses(geom: KernelGeom, density):
+    """(k_red, inv_m_row, inv_m_part) from density — plain XLA math so
+    dL/d(density) chains through the kernel's slot-space cotangents.
+    Same double-where masked-reciprocal guards as the compact path (the
+    r4 dress 0/0-NaN fix, selfcol.self_friction_compact)."""
+    rho = jnp.asarray(density, jnp.float32)
+    m_row = rho * geom.area_row
+    m_part = rho * geom.area_part
+    m_row_safe = jnp.where(geom.area_row > 0, m_row, 1.0)
+    m_part_safe = jnp.where(geom.area_part > 0, m_part, 1.0)
+    imr = jnp.where(geom.area_row > 0, 1.0 / m_row_safe, 0.0)
+    imp = jnp.where(geom.area_part > 0, 1.0 / m_part_safe, 0.0)
+    msum = m_row + m_part
+    msum_safe = jnp.where(msum > 0, msum, 1.0)
+    k_red = jnp.where(msum > 0, m_row * m_part / msum_safe, 0.0)
+    return k_red, imr, imp
+
+
+# ---------------------------------------------------------------------------
+# slot-space friction math (3, C) layout, shared by both kernels
+
+def _fric_cases(nrmT, d):
+    """Common case data of the Signorini-Coulomb projection at d."""
     sd = jnp.sum(d * nrmT, axis=0, keepdims=True)          # (1, C)
     fN = nrmT * sd
     fT = d - fN
@@ -110,124 +215,302 @@ def _dff_T(nrmT, d, mu_scalar: float, k_red):
     tnorm = jnp.where(safe, jnp.sqrt(jnp.where(safe, n2, 1.0)), EPS)
     t_hat = fT / tnorm
     in_contact = sd < 0.0
-    stick = tnorm <= mu_scalar * jnp.abs(sd)
+    stick = tnorm <= MU_CLOTH * jnp.abs(sd)
+    return sd, fN, fT, tnorm, t_hat, in_contact, stick
+
+
+def _dff_T(nrmT, d):
+    """dry_friction_force in (3, C) layout — op-for-op contact.py:223-239."""
+    sd, fN, fT, tnorm, t_hat, in_contact, stick = _fric_cases(nrmT, d)
     r_stick = -fN - fT
-    r_slide = -fN - mu_scalar * jnp.abs(sd) * t_hat
+    r_slide = -fN - MU_CLOTH * jnp.abs(sd) * t_hat
     r = jnp.where(stick, r_stick, r_slide)
-    r = jnp.where(in_contact, r, 0.0)
-    return k_red[None, :] * r
+    return jnp.where(in_contact, r, 0.0)
 
 
-def _kernel(frT_ref, idxcat_ref, row_ref, nrmT_ref, kred_ref, imr_ref,
-            imp_ref, out_ref, *, n_layers: int, block_b: int):
+def _dff_JT(nrmT, d, w3):
+    """(d dff/dd)^T w — the transposed per-slot friction Jacobian at d.
+
+    stick: r = -d               -> J^T w = -w
+    slide: r = -(d.n)n - mu|sd| t_hat ->
+      J^T w = -((n.w) + mu sign(sd)(t_hat.w)) n
+              - (mu|sd|/tn)(w - (n.w)n - (t_hat.w)t_hat)
+    (uses t_hat . n = 0 exactly; fT is the projection off n).
+    takeoff: 0.  Matches XLA reverse-mode through dry_friction_force's
+    double-where construction (oracle-tested)."""
+    sd, fN, fT, tnorm, t_hat, in_contact, stick = _fric_cases(nrmT, d)
+    nw = jnp.sum(nrmT * w3, axis=0, keepdims=True)
+    tw = jnp.sum(t_hat * w3, axis=0, keepdims=True)
+    jt_stick = -w3
+    jt_slide = (-(nw + MU_CLOTH * jnp.sign(sd) * tw) * nrmT
+                - (MU_CLOTH * jnp.abs(sd) / tnorm)
+                * (w3 - nw * nrmT - tw * t_hat))
+    jt = jnp.where(stick, jt_stick, jt_slide)
+    return jnp.where(in_contact, jt, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+
+def _fwd_kernel(counts_ref, frT_ref, idxr_ref, idxp_ref, nrmT_ref,
+                kred_ref, imr_ref, imp_ref, out_ref, vals_ref, *,
+                specs, block_b: int):
     n_pad = frT_ref.shape[-1]
-    C2 = idxcat_ref.shape[-1]
-    C = C2 // 2
+    f32 = jnp.float32
     for b in range(block_b):
         fr = frT_ref[b]                                  # (8, n_pad)
-        for l in range(n_layers):
-            idxcat = idxcat_ref[b, l]                    # (2C,)
-            col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, C2), 0)
-            onehot = (col == idxcat[None, :]).astype(jnp.float32)
-            vals = jnp.dot(fr, onehot,
-                           preferred_element_type=jnp.float32)  # (8, 2C)
-            vrow = vals[0:3, 0:C]
-            vpart = vals[0:3, C:]
-            d = (vrow * imr_ref[b, l][None, :]
-                 - vpart * imp_ref[b, l][None, :])        # (3, C)
-            r_slot = _dff_T(nrmT_ref[b, l], d, MU_CLOTH, kred_ref[b, l])
-            r8 = jnp.concatenate(
-                [r_slot, jnp.zeros((5, C), jnp.float32)], axis=0)
-            rowc = jax.lax.broadcasted_iota(jnp.int32, (C, n_pad), 1)
-            oh_row = (rowc == row_ref[b, l][:, None]).astype(jnp.float32)
-            fr = fr + jnp.dot(r8, oh_row,
-                              preferred_element_type=jnp.float32)
+        for l, (start, c_pad, c_eff) in enumerate(specs):
+            cnt = counts_ref[b, l]
+            fr_l = fr          # pre-layer state: all chunks select from it
+            for c in range(c_pad // CHUNK):
+                s0 = start + c * CHUNK
+                ir = idxr_ref[b, s0:s0 + CHUNK]          # (128,) f32
+                ip = idxp_ref[b, s0:s0 + CHUNK]
+                nrm = nrmT_ref[b, :, s0:s0 + CHUNK]      # (3, 128)
+                kred = kred_ref[b, s0:s0 + CHUNK]
+                imr = imr_ref[b, s0:s0 + CHUNK]
+                imp = imp_ref[b, s0:s0 + CHUNK]
+
+                def do(fr_acc, fr_l=fr_l, ir=ir, ip=ip, nrm=nrm,
+                       kred=kred, imr=imr, imp=imp):
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_pad, CHUNK), 0).astype(f32)
+                    oh_r = (col == ir[None, :]).astype(f32)
+                    oh_p = (col == ip[None, :]).astype(f32)
+                    vq = jnp.dot(fr_l, oh_r,
+                                 preferred_element_type=f32,
+                                 precision=_DOT_PREC)    # (8, 128)
+                    vp = jnp.dot(fr_l, oh_p,
+                                 preferred_element_type=f32,
+                                 precision=_DOT_PREC)
+                    q = vq[0:3]
+                    p = vp[0:3]
+                    d = q * imr[None, :] - p * imp[None, :]
+                    rs = kred[None, :] * _dff_T(nrm, d)  # (3, 128)
+                    r8 = jnp.concatenate(
+                        [rs, jnp.zeros((5, CHUNK), f32)], axis=0)
+                    fr_new = fr_acc + jnp.dot(r8, oh_r.T,
+                                              preferred_element_type=f32,
+                                 precision=_DOT_PREC)
+                    return fr_new, vq, vp
+
+                def skip(fr_acc):
+                    z = jnp.zeros((8, CHUNK), f32)
+                    return fr_acc, z, z
+
+                fr, vq, vp = jax.lax.cond(cnt > c * CHUNK, do, skip, fr)
+                vals_ref[b, 0:3, s0:s0 + CHUNK] = vq[0:3]
+                vals_ref[b, 3:6, s0:s0 + CHUNK] = vp[0:3]
+                vals_ref[b, 6:8, s0:s0 + CHUNK] = jnp.zeros(
+                    (2, CHUNK), f32)
         out_ref[b] = fr
 
 
-def _friction_grid(frT_b, kl_idxcat, kl_row, kl_nrmT, kl_kred, kl_imr,
-                   kl_imp, *, n_layers: int, interpret: bool,
-                   block_b: int = None):
-    """Natively batched launch: frT_b (B, 8, n_pad).  Batch blocks of
-    `block_b` samples per grid step (one TensorCore — the block just
-    amortizes grid-step overhead)."""
+def _bwd_kernel(counts_ref, g_ref, idxr_ref, idxp_ref, nrmT_ref,
+                kred_ref, imr_ref, imp_ref, vals_ref,
+                gout_ref, ckred_ref, cimr_ref, cimp_ref, *,
+                specs, block_b: int):
+    """Transpose of _fwd_kernel's linearization at the saved select values
+    (reverse layer order; within a layer all chunks select from the
+    post-later-layers cotangent, mirroring the forward's pre-layer
+    selects)."""
+    n_pad = g_ref.shape[-1]
+    f32 = jnp.float32
+    for b in range(block_b):
+        g = g_ref[b]                                     # (8, n_pad)
+        for l, (start, c_pad, c_eff) in reversed(list(enumerate(specs))):
+            cnt = counts_ref[b, l]
+            g_l = g
+            for c in range(c_pad // CHUNK):
+                s0 = start + c * CHUNK
+                ir = idxr_ref[b, s0:s0 + CHUNK]
+                ip = idxp_ref[b, s0:s0 + CHUNK]
+                nrm = nrmT_ref[b, :, s0:s0 + CHUNK]
+                kred = kred_ref[b, s0:s0 + CHUNK]
+                imr = imr_ref[b, s0:s0 + CHUNK]
+                imp = imp_ref[b, s0:s0 + CHUNK]
+                q = vals_ref[b, 0:3, s0:s0 + CHUNK]
+                p = vals_ref[b, 3:6, s0:s0 + CHUNK]
+
+                def do(g_acc, g_l=g_l, ir=ir, ip=ip, nrm=nrm, kred=kred,
+                       imr=imr, imp=imp, q=q, p=p):
+                    # w = E^T g: select cot rows at the slot row indices
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_pad, CHUNK), 0).astype(f32)
+                    oh_r = (col == ir[None, :]).astype(f32)
+                    oh_p = (col == ip[None, :]).astype(f32)
+                    w = jnp.dot(g_l, oh_r,
+                                preferred_element_type=f32,
+                                 precision=_DOT_PREC)     # (8, 128)
+                    w3 = w[0:3]
+                    d = q * imr[None, :] - p * imp[None, :]
+                    u = kred[None, :] * _dff_JT(nrm, d, w3)     # (3, 128)
+                    # d = imr*q - imp*p with q = E^T fr, p = S^T fr:
+                    cq8 = jnp.concatenate(
+                        [u * imr[None, :], jnp.zeros((5, CHUNK), f32)],
+                        axis=0)
+                    cp8 = jnp.concatenate(
+                        [-u * imp[None, :], jnp.zeros((5, CHUNK), f32)],
+                        axis=0)
+                    g_new = (g_acc
+                             + jnp.dot(cq8, oh_r.T,
+                                       preferred_element_type=f32,
+                                 precision=_DOT_PREC)
+                             + jnp.dot(cp8, oh_p.T,
+                                       preferred_element_type=f32,
+                                 precision=_DOT_PREC))
+                    ck = jnp.sum(_dff_T(nrm, d) * w3, axis=0)   # (128,)
+                    ci = jnp.sum(u * q, axis=0)
+                    cp_out = -jnp.sum(u * p, axis=0)
+                    return g_new, ck, ci, cp_out
+
+                def skip(g_acc):
+                    z = jnp.zeros((CHUNK,), f32)
+                    return g_acc, z, z, z
+
+                g, ck, ci, cp_out = jax.lax.cond(cnt > c * CHUNK, do,
+                                                 skip, g)
+                ckred_ref[b, s0:s0 + CHUNK] = ck
+                cimr_ref[b, s0:s0 + CHUNK] = ci
+                cimp_ref[b, s0:s0 + CHUNK] = cp_out
+        gout_ref[b] = g
+
+
+def _pick_block_b(B: int, n_pad: int, TC: int) -> int:
+    """Largest sample block whose double-buffered VMEM footprint stays
+    well under the ~16 MB budget (the r4 fixed block_b=8 OOM'd at dress
+    scale)."""
     import os
-    if block_b is None:
-        block_b = int(os.environ.get("DIFFCLOTH_FRIC_BLOCK_B", "8"))
-    B = frT_b.shape[0]
-    n_pad = frT_b.shape[-1]
-    Bb = max(1, min(block_b, B))
-    if B % Bb != 0:
-        Bb = 1
+    env = os.environ.get("DIFFCLOTH_FRIC_BLOCK_B", "")
+    if env:
+        bb = max(1, min(int(env), B))
+        return bb if B % bb == 0 else 1
+    per_sample = 4 * (3 * 8 * n_pad + 10 * TC)   # frT in/out + vals + slots
+    budget = 6 * 1024 * 1024                     # /2 for double buffering
+    bb = max(1, min(8, budget // max(per_sample, 1), B))
+    while B % bb != 0:
+        bb -= 1
+    return bb
+
+
+def _grid_call(kernel_body, n_outs_extra, counts, frT, *slot_args,
+               specs, interpret: bool):
+    """Shared pallas_call launcher: batched (B, ...) operands, grid over
+    sample blocks, counts in SMEM."""
+    B, _, n_pad = frT.shape
+    TC = specs[-1][0] + specs[-1][1]
+    L = len(specs)
+    Bb = _pick_block_b(B, n_pad, TC)
     grid = (B // Bb,)
-    L, C2 = kl_idxcat.shape[-2:]
-    C = C2 // 2
-    kernel = functools.partial(_kernel, n_layers=n_layers, block_b=Bb)
-    blk = lambda *s: pl.BlockSpec((Bb,) + s, lambda g: (g,) + (0,) * len(s),
-                                  memory_space=pltpu.VMEM)
+    kernel = functools.partial(kernel_body, specs=specs, block_b=Bb)
+    vblk = lambda *s: pl.BlockSpec(
+        (Bb,) + s, lambda g: (g,) + (0,) * len(s),
+        memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((Bb, L), lambda g: (g, 0),
+                        memory_space=pltpu.SMEM)
+    in_specs = [sblk, vblk(8, n_pad)]
+    shapes = [a.shape[1:] for a in slot_args]
+    for s in shapes:
+        in_specs.append(vblk(*s))
+    out_specs = [vblk(8, n_pad)]
+    out_shape = [jax.ShapeDtypeStruct((B, 8, n_pad), jnp.float32)]
+    for s in n_outs_extra:
+        out_specs.append(vblk(*s))
+        out_shape.append(jax.ShapeDtypeStruct((B,) + s, jnp.float32))
     return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            blk(8, n_pad),
-            blk(L, C2), blk(L, C), blk(L, 3, C), blk(L, C), blk(L, C),
-            blk(L, C),
-        ],
-        out_specs=blk(8, n_pad),
-        out_shape=jax.ShapeDtypeStruct((B, 8, n_pad), jnp.float32),
-        interpret=interpret,
-    )(frT_b, kl_idxcat, kl_row, kl_nrmT, kl_kred, kl_imr, kl_imp)
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(counts, frT, *slot_args)
 
 
-_FRIC_CACHE: dict = {}
+_CACHE: dict = {}
 
 
-def _friction_fn(n_layers: int, interpret: bool):
-    key = (n_layers, interpret)
-    fn = _FRIC_CACHE.get(key)
-    if fn is not None:
-        return fn
+def _fric_fns(budgets: tuple, interpret: bool):
+    """Build (and cache) the custom-VJP friction function for a static
+    budget tuple."""
+    key = (budgets, interpret)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    specs, TC = layer_specs(budgets)
 
     @jax.custom_batching.custom_vmap
-    def fric(frT, idxcat, row, nrmT, kred, imr, imp):
-        return _friction_grid(frT[None], idxcat[None], row[None],
-                              nrmT[None], kred[None], imr[None], imp[None],
-                              n_layers=n_layers, interpret=interpret)[0]
+    def fwd_grid(counts, frT, idxr, idxp, nrmT, kred, imr, imp):
+        out = _grid_call(_fwd_kernel, [(8, TC)], counts[None], frT[None],
+                         idxr[None], idxp[None], nrmT[None], kred[None],
+                         imr[None], imp[None], specs=specs,
+                         interpret=interpret)
+        return out[0][0], out[1][0]
 
-    @fric.def_vmap
-    def _rule(axis_size, in_batched, *ops):
-        # broadcast any unbatched operand (e.g. slot data shared across
-        # the batch when the contact set is sample-independent)
+    @fwd_grid.def_vmap
+    def _fwd_rule(axis_size, in_batched, *ops):
         ops = tuple(o if b else jnp.broadcast_to(o[None],
                                                  (axis_size,) + o.shape)
                     for o, b in zip(ops, in_batched))
-        out = _friction_grid(*ops, n_layers=n_layers, interpret=interpret)
-        return out, True
+        out = _grid_call(_fwd_kernel, [(8, TC)], *ops, specs=specs,
+                         interpret=interpret)
+        return (out[0], out[1]), (True, True)
 
-    _FRIC_CACHE[key] = fric
+    @jax.custom_batching.custom_vmap
+    def bwd_grid(counts, g, idxr, idxp, nrmT, kred, imr, imp, vals):
+        out = _grid_call(_bwd_kernel, [(TC,), (TC,), (TC,)], counts[None],
+                         g[None], idxr[None], idxp[None], nrmT[None],
+                         kred[None], imr[None], imp[None], vals[None],
+                         specs=specs, interpret=interpret)
+        return tuple(o[0] for o in out)
+
+    @bwd_grid.def_vmap
+    def _bwd_rule(axis_size, in_batched, *ops):
+        ops = tuple(o if b else jnp.broadcast_to(o[None],
+                                                 (axis_size,) + o.shape)
+                    for o, b in zip(ops, in_batched))
+        out = _grid_call(_bwd_kernel, [(TC,), (TC,), (TC,)], *ops,
+                         specs=specs, interpret=interpret)
+        return tuple(out), (True,) * 4
+
+    @jax.custom_vjp
+    def fric(frT, idxr, idxp, nrmT, kred, imr, imp, counts):
+        out, _ = fwd_grid(counts, frT, idxr, idxp, nrmT, kred, imr, imp)
+        return out
+
+    def fric_fwd(frT, idxr, idxp, nrmT, kred, imr, imp, counts):
+        out, vals = fwd_grid(counts, frT, idxr, idxp, nrmT, kred, imr,
+                             imp)
+        return out, (vals, idxr, idxp, nrmT, kred, imr, imp, counts)
+
+    def fric_bwd(res, g):
+        vals, idxr, idxp, nrmT, kred, imr, imp, counts = res
+        gfr, ckred, cimr, cimp = bwd_grid(counts, g, idxr, idxp, nrmT,
+                                          kred, imr, imp, vals)
+        return (gfr, jnp.zeros_like(idxr), jnp.zeros_like(idxp),
+                jnp.zeros_like(nrmT), ckred, cimr, cimp,
+                jnp.zeros_like(counts))
+
+    fric.defvjp(fric_fwd, fric_bwd)
+    _CACHE[key] = fric
     return fric
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def self_friction_kernel(f: jnp.ndarray, kl: KernelLayers,
-                         r_init: jnp.ndarray, n_layers: int,
+def self_friction_kernel(f: jnp.ndarray, geom: KernelGeom, density,
+                         r_init: jnp.ndarray, budgets: tuple,
                          interpret: bool | None = None) -> jnp.ndarray:
-    """Drop-in for self_friction_compact on the forward PD path: returns
-    r_init + per-layer friction contributions.  f, r_init: (n, 3)."""
+    """Differentiable drop-in for selfcol.self_friction_compact on the
+    kernel slot geometry: returns r_init + per-layer friction
+    contributions.  f, r_init: (n, 3); density a scalar (gradient flows
+    through the slot-mass chain)."""
     import os
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = f.shape[0]
     n_pad = _round_up(n, 128)
+    k_red, imr, imp = slot_masses(geom, density)
     fr = (f + r_init).astype(jnp.float32)
     frT = jnp.zeros((8, n_pad), jnp.float32).at[0:3, 0:n].set(fr.T)
     if os.environ.get("DIFFCLOTH_FRIC_KERNEL_BYPASS", "") == "1":
         out = frT   # profiling ablation: transposes + pad only, no kernel
     else:
-        out = _friction_fn(n_layers, interpret)(
-            frT, kl.idxcat, kl.row_idx, kl.normalT, kl.k_red,
-            kl.inv_m_row, kl.inv_m_part)
-    return r_init.astype(f.dtype) + (out[0:3, 0:n].T - fr).astype(f.dtype)
+        out = _fric_fns(budgets, interpret)(
+            frT, geom.idx_row, geom.idx_part, geom.normalT, k_red, imr,
+            imp, geom.counts)
+    return r_init + (out[0:3, 0:n].T - fr).astype(f.dtype)

@@ -434,7 +434,9 @@ def self_friction_tables(f: jnp.ndarray, tables: SelfContactTables,
 
 def layer_tables_from_partners(partner_nk: jnp.ndarray,
                                x: jnp.ndarray,
-                               max_layers: int) -> SelfContactTables:
+                               max_layers: int,
+                               with_normals: bool = True
+                               ) -> SelfContactTables:
     """Symmetric per-row partner lists -> per-layer partner tables with NO
     scatter anywhere (the production TPU pipeline).
 
@@ -466,6 +468,18 @@ def layer_tables_from_partners(partner_nk: jnp.ndarray,
     valid = partner_nk >= 0
     pc = jnp.maximum(partner_nk, 0)
     rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    # KNOWN LIMITATION on overflow steps (ADVICE r4): when a row exceeds K
+    # partners, the surviving one-sided (dangling) entry can never win the
+    # matching (the win condition needs both owners), yet it participates
+    # in every owner-min round — if it is that particle's minimum id it
+    # blocks the particle from matching ANY of its contacts, so an
+    # overflow step can drop additional, non-overflowing pairs.  The
+    # reciprocity pre-filter that would fix this needs an (n, K) batched
+    # row gather per step — measured at ~6 ms/step at B=64 on v5e (the
+    # slowest primitive in the engine) for a condition that never occurs
+    # on healthy steps.  Overflow is FLAGGED (selfcol_overflow), which
+    # already gates trust in the step; bump K instead of paying the
+    # gather.
     pri = (jnp.minimum(rows, pc) * jnp.int32(n)
            + jnp.maximum(rows, pc))                      # (n,K) canonical id
     BIG = jnp.iinfo(jnp.int32).max
@@ -494,13 +508,21 @@ def layer_tables_from_partners(partner_nk: jnp.ndarray,
     lsel = jnp.arange(L, dtype=jnp.int32)[:, None, None]  # (L, 1, 1)
     hit = (lay3 == lsel)                                 # (L, n, K)
     partner = jnp.max(jnp.where(hit, pc[None], -1), axis=2)  # (L, n)
+    n_layers = jnp.max(layer) + 1
+    if not with_normals:
+        # the kernel-geometry consumer computes normals per compact SLOT
+        # (friction_pallas.build_kernel_geom); building them here costs an
+        # (L*n,)-row batched gather of x — measured 8.3 ms/step at B=64
+        # (the single largest op in the r5 trace), for <=C actual contacts
+        normal = jnp.zeros((L, n, 3), x.dtype)
+        return SelfContactTables(partner=partner, normal=normal,
+                                 n_layers=n_layers.astype(jnp.int32))
     has = partner >= 0
     pcl = jnp.maximum(partner, 0)
     diff = x - x[pcl.reshape(-1)].reshape(L, n, 3)       # row - partner
     nrm = diff / jnp.maximum(
         jnp.linalg.norm(diff, axis=-1, keepdims=True), 1e-12)
     normal = jnp.where(has[:, :, None], nrm.astype(x.dtype), 0.0)
-    n_layers = jnp.max(layer) + 1
     return SelfContactTables(partner=partner, normal=normal,
                              n_layers=n_layers.astype(jnp.int32))
 
@@ -561,7 +583,10 @@ def build_compact_layers(tables: SelfContactTables, area: jnp.ndarray,
         p = tables.partner[l]
         has = p >= 0
         pos = jnp.cumsum(has.astype(jnp.int32)) - 1
-        tgt = jnp.where(has & (pos < C), pos, C)
+        # unique OOB addresses for dropped entries so the unique_indices
+        # promise holds exactly (ADVICE r4: routing every drop to the
+        # single index C is undefined behavior per scatter semantics)
+        tgt = jnp.where(has & (pos < C), pos, C + iota)
         row_idx = jnp.full((C,), -1, jnp.int32).at[tgt].set(
             iota, mode="drop", unique_indices=True)
         part_idx = jnp.full((C,), -1, jnp.int32).at[tgt].set(

@@ -263,7 +263,8 @@ def pack_allowed(allowed_triu: np.ndarray) -> np.ndarray:
 def detect_tables_pallas(allowed_sym: jnp.ndarray, radii: jnp.ndarray,
                          x: jnp.ndarray, v: jnp.ndarray, h: float,
                          k_partners: int, max_layers: int,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         with_normals: bool = True):
     """Production TPU self-collision pipeline: symmetric kernel detection ->
     dense layering -> per-layer friction tables, scatter-free END TO END.
 
@@ -295,5 +296,6 @@ def detect_tables_pallas(allowed_sym: jnp.ndarray, radii: jnp.ndarray,
     partners = table[:n, :k_partners]
     counts = table[:n, k_partners]
     overflow = jnp.any(counts > k_partners)
-    tables = layer_tables_from_partners(partners, x, max_layers)
+    tables = layer_tables_from_partners(partners, x, max_layers,
+                                       with_normals=with_normals)
     return tables, overflow

@@ -117,12 +117,15 @@ class ClothSim:
         import os
         if not os.environ.get("DIFFCLOTH_NO_COMPILE_CACHE"):
             try:
-                jax.config.update(
-                    "jax_compilation_cache_dir",
-                    os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                   "/tmp/diffcloth_jax_cache"))
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 5)
+                # only when still unset: never override a host
+                # application's own cache configuration (ADVICE r4)
+                if jax.config.jax_compilation_cache_dir is None:
+                    jax.config.update(
+                        "jax_compilation_cache_dir",
+                        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       "/tmp/diffcloth_jax_cache"))
+                    jax.config.update(
+                        "jax_persistent_cache_min_compile_time_secs", 5)
             except Exception:
                 pass
         cfg = scene.cfg
@@ -218,6 +221,11 @@ class ClothSim:
                     self_method = ("pallas"
                                    if jax.default_backend() == "tpu"
                                    else "matrix")
+            if self_method == "pallas" and scene.n > 46340:
+                # int32 canonical pair ids (min*n + max) overflow past
+                # n^2 >= 2^31 (selfcol.layer_tables_from_partners);
+                # fall back to the sort-based sweep path (ADVICE r4)
+                self_method = "sweep"
             allowed = ~scene.conn_table & ~np.eye(scene.n, dtype=bool)
             if self_method == "matrix":
                 allowed &= np.triu(np.ones_like(allowed), 1)

@@ -326,9 +326,15 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                                p_spring=d_sp)
 
     def apply_AtA_all(k_pertype, v, Sk=None):
+        # per-type matvecs with SHARED (unbatched) S_t weights: a hoisted
+        # Sk = sum k_t S_t materializes (B, n, n) under vmapped k_pertype
+        # (520 MB/step at tshirt B=64, re-read every PD iteration — the
+        # r5 trace's second-largest cost); Sk survives as an explicit
+        # override for oracle paths only
         if dense is not None:
-            Sk = Sk if Sk is not None else dn.weighted_S(dense, k_pertype)
-            return dn.apply_S(Sk, v)
+            if Sk is not None:
+                return dn.apply_S(Sk, v)
+            return dn.apply_S_pertype(dense.S, k_pertype, v)
         if sparse is not None:
             return spo.apply_AtA(sparse, k_pertype, v)
         return cons.apply_AtA(scene, stage, k_pertype, v)
@@ -352,18 +358,14 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         if use_self and self_cfg.ablate == "":
             fric_data, _ = selfc
             if self_cfg.friction_impl == "pallas":
-                compact, kl = fric_data
-                if differentiable:
-                    # the residual VJP path: same function, XLA compact
-                    # matmuls (the kernel has no autodiff rule)
-                    r = sc.self_friction_compact(
-                        f, compact, params.density, m, r,
-                        ct.dry_friction_force)
-                else:
-                    from diffcloth_tpu.core import friction_pallas as fp
-                    r = fp.self_friction_kernel(
-                        f, kl, r, min(self_cfg.compact_layers,
-                                      self_cfg.max_layers))
+                # the SAME custom-VJP kernel serves the forward PD loop
+                # and the residual VJP (its backward is the transposed-
+                # linearization kernel), so forward and backward friction
+                # agree by construction — including the per-layer drop
+                # budgets (ADVICE r4 medium)
+                from diffcloth_tpu.core import friction_pallas as fp
+                r = fp.self_friction_kernel(f, fric_data, params.density,
+                                            r, _compact_budgets())
             elif self_cfg.friction_impl == "compact":
                 r = sc.self_friction_compact(f, fric_data, params.density,
                                              m, r, ct.dry_friction_force)
@@ -444,16 +446,14 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
     def rebuild_fric(selfc_save, dtype):
         """Saved (tables, overflow) -> the selfc form `residual` expects.
         Rebuilding the (n, C) one-hots here keeps them OUT of the stored
-        VJP residuals (HBM: they dwarf everything else at batch)."""
-        if not use_self or self_cfg.friction_impl not in (
-                "compact", "pallas") or self_cfg.ablate == "detect_only":
+        VJP residuals (HBM: they dwarf everything else at batch).  The
+        'pallas' impl needs no rebuild: its KernelGeom slot data is ~15 KB
+        per step and is saved directly."""
+        if not use_self or self_cfg.friction_impl != "compact" or \
+                self_cfg.ablate == "detect_only":
             return selfc_save
         tables, overflow = selfc_save
         compact, overflow = build_compact_for(tables, overflow, dtype)
-        if self_cfg.friction_impl == "pallas":
-            # residual calls friction(differentiable=True), which only
-            # consumes the compact half
-            return ((compact, None), overflow)
         return (compact, overflow)
 
     # -- forward PD loop ----------------------------------------------------
@@ -473,26 +473,29 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
         def compactify(tables, overflow):
             """tables -> per-layer compact slots (once per step); layers
             beyond the compact budget are dropped AND flagged.  The
-            'pallas' impl additionally builds the kernel slot data (the
-            XLA compact form still backs the residual VJP).
+            'pallas' impl builds KernelGeom (index-only slot data; the
+            custom-VJP kernel serves forward AND residual).
 
-            Returns (fric_data-selfc, save-selfc): the save form carries
-            only the SMALL partner tables — the (n, C) one-hot matrices
-            must NOT enter the custom-VJP residuals (at B=64 x 25-step
-            chunks they alone exhaust HBM); step_bwd rebuilds them."""
+            Returns (fric_data-selfc, save-selfc): the 'compact' save
+            form carries only the SMALL partner tables — the (n, C)
+            one-hot matrices must NOT enter the custom-VJP residuals (at
+            B=64 x 25-step chunks they alone exhaust HBM); step_bwd
+            rebuilds them.  KernelGeom is small enough to save as-is."""
             if self_cfg.friction_impl not in ("compact", "pallas") or \
                     self_cfg.ablate == "detect_only":
                 return (tables, overflow), (tables, overflow)
-            compact, overflow = build_compact_for(tables, overflow,
-                                                  x_n.dtype)
+            budgets = _compact_budgets()
             if self_cfg.friction_impl == "pallas":
                 from diffcloth_tpu.core import friction_pallas as fp
-                n_lay = min(self_cfg.compact_layers, self_cfg.max_layers)
-                kl = fp.build_kernel_layers(
-                    tables, scene.area.astype(x_n.dtype), params.density,
-                    n, budget=_compact_budgets()[0], n_layers=n_lay)
-                overflow = overflow | kl.overflow
-                return ((compact, kl), overflow), (tables, overflow)
+                geom = fp.build_kernel_geom(
+                    tables, scene.area.astype(x_n.dtype), n, budgets,
+                    x=x_n)
+                overflow = (overflow | geom.overflow |
+                            (tables.n_layers > len(budgets)))
+                pair = (geom, overflow)
+                return pair, pair
+            compact, overflow = build_compact_for(tables, overflow,
+                                                  x_n.dtype)
             return (compact, overflow), (tables, overflow)
 
         if use_self:
@@ -515,7 +518,8 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
                 else:
                     tables, overflow = scp.detect_tables_pallas(
                         self_cfg.allowed, scene.radii, x_n, v_iter0, h,
-                        self_cfg.k_partners, self_cfg.max_layers)
+                        self_cfg.k_partners, self_cfg.max_layers,
+                        with_normals=self_cfg.friction_impl != "pallas")
                     selfc, selfc_save = compactify(tables, overflow)
             else:
                 if self_cfg.method == "matrix":
@@ -542,8 +546,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
 
         # constants across PD iterations, hoisted out of the loop body
         y_n = apply_A_all(x_n)
-        Sk = dn.weighted_S(dense, params.k_pertype) if (
-            dense is not None and has_contact) else None
+        Sk = None
         solve = solver_for(params, Sk)
 
         def one_iter(x_now, v_now):
@@ -670,8 +673,7 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
             lambda vn: residual(vn, x_n, v_n, params, x_fixed, contact,
                                 selfc, t, step_idx), v_new)
 
-        Sk_b = dn.weighted_S(dense, params.k_pertype) if dense is not None \
-            else None
+        Sk_b = None
         solve = solver_for(params, Sk_b)
 
         def fp_cond(c):

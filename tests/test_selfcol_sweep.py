@@ -364,8 +364,10 @@ def test_compact_friction_density_grad_finite_f32():
 
 def test_pallas_friction_kernel_matches_compact():
     """The in-VMEM friction kernel (interpret mode on CPU) must match the
-    XLA compact path — same slot semantics, same dry-friction case split —
-    to f32 rounding, single and vmapped."""
+    XLA compact path — same slot semantics, same per-layer drop budgets
+    (ADVICE r4 medium), same dry-friction case split — to f32 rounding, in
+    VALUES and in VJPs (the backward kernel is a hand-derived transposed
+    linearization), single and vmapped."""
     from diffcloth_tpu.core import contact as ct
     from diffcloth_tpu.core import friction_pallas as fp
     rng = np.random.RandomState(9)
@@ -393,22 +395,44 @@ def test_pallas_friction_kernel_matches_compact():
     compact = sc.build_compact_layers(tables, area, n, budgets)
     r_ref = sc.self_friction_compact(f, compact, density, mass, r0,
                                      ct.dry_friction_force)
-    kl = fp.build_kernel_layers(tables, area, density, n,
-                                budget=max(budgets), n_layers=n_lay)
-    assert not bool(kl.overflow)
-    r_k = fp.self_friction_kernel(f, kl, r0, n_lay, interpret=True)
+    geom = fp.build_kernel_geom(tables, area, n, budgets)
+    assert not bool(geom.overflow)
+    r_k = fp.self_friction_kernel(f, geom, density, r0, budgets,
+                                  interpret=True)
     np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
                                rtol=2e-5, atol=1e-6)
 
-    # vmapped (the production batched call site)
+    # VJP parity: the transposed-linearization kernel vs XLA autodiff of
+    # the compact path, for every differentiable input (f, density, r0)
+    def loss_k(f_, rho_, r_):
+        out = fp.self_friction_kernel(f_, geom, rho_, r_, budgets,
+                                      interpret=True)
+        return jnp.sum(jnp.sin(out * 1.7) * jnp.cos(out * 0.3))
+
+    def loss_c(f_, rho_, r_):
+        m = rho_ * area
+        out = sc.self_friction_compact(f_, compact, rho_, m, r_,
+                                       ct.dry_friction_force)
+        return jnp.sum(jnp.sin(out * 1.7) * jnp.cos(out * 0.3))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(f, density, r0)
+    gc = jax.grad(loss_c, argnums=(0, 1, 2))(f, density, r0)
+    for name, a, b in zip(("f", "density", "r0"), gc, gk):
+        a, b = np.asarray(a), np.asarray(b)
+        # absolute floor: self-friction is analytically density-
+        # independent (k_red ~ rho cancels d ~ 1/rho), so the density
+        # gradient is pure f32 noise on both sides
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 5e-4, name
+
+    # vmapped (the production batched call site), values + grads
     B = 3
     fs = jnp.stack([f, f * 0.5, -f])
     r0s = jnp.stack([r0, r0, jnp.zeros_like(r0)])
 
     def one(fb, rb):
-        klb = fp.build_kernel_layers(tables, area, density, n,
-                                     budget=max(budgets), n_layers=n_lay)
-        return fp.self_friction_kernel(fb, klb, rb, n_lay, interpret=True)
+        return fp.self_friction_kernel(fb, geom, density, rb, budgets,
+                                       interpret=True)
 
     rk_b = jax.jit(jax.vmap(one))(fs, r0s)
     for b in range(B):
@@ -416,6 +440,60 @@ def test_pallas_friction_kernel_matches_compact():
                                       r0s[b], ct.dry_friction_force)
         np.testing.assert_allclose(np.asarray(rk_b[b]), np.asarray(rr),
                                    rtol=2e-5, atol=1e-6)
+
+    def loss_kb(fb, rb):
+        return jnp.sum(one(fb, rb) ** 2)
+
+    def loss_cb(fb, rb):
+        out = sc.self_friction_compact(fb, compact, density, mass, rb,
+                                       ct.dry_friction_force)
+        return jnp.sum(out ** 2)
+
+    gkb = jax.jit(jax.vmap(jax.grad(loss_kb, argnums=(0, 1))))(fs, r0s)
+    gcb = jax.vmap(jax.grad(loss_cb, argnums=(0, 1)))(fs, r0s)
+    for a, b in zip(gcb, gkb):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 5e-4
+
+
+def test_kernel_budget_drop_matches_compact():
+    """When a layer overflows its slot budget the kernel must drop the
+    SAME rows the compact/residual path drops (the r4 uniform-budget
+    kernel could apply friction the residual never saw -> silently wrong
+    gradients, ADVICE r4 medium)."""
+    from diffcloth_tpu.core import contact as ct
+    from diffcloth_tpu.core import friction_pallas as fp
+    rng = np.random.RandomState(3)
+    n = 120
+    x, v, radii, conn = random_config(3, n=n, n_adj=60)
+    radii = jnp.asarray((np.abs(rng.rand(n)) * 0.15 + 0.08)
+                        .astype(np.float32))
+    x = jnp.asarray(np.asarray(x, np.float32))
+    v = jnp.asarray(np.asarray(v, np.float32))
+    cand = sc.build_candidate_pairs(conn)
+    cs = sc.detect_self_collisions(jnp.asarray(cand, jnp.int32), radii, x,
+                                   v, 0.05, cap_pairs=2048)
+    cs = sc.assign_layers(cs, n, max_layers=8)
+    tables = sc.build_layer_tables(cs, n, 8)
+    assert int(tables.n_layers) >= 2
+
+    area = jnp.asarray((rng.rand(n) + 0.2).astype(np.float32))
+    density = jnp.asarray(1.1, jnp.float32)
+    mass = density * area
+    f = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    r0 = jnp.zeros((n, 3), jnp.float32)
+
+    # tiny tapered budgets that FORCE drops in every layer
+    budgets = (8, 4)
+    compact = sc.build_compact_layers(tables, area, n, budgets)
+    geom = fp.build_kernel_geom(tables, area, n, budgets)
+    assert bool(geom.overflow) == bool(compact.overflow)
+    r_ref = sc.self_friction_compact(f, compact, density, mass, r0,
+                                     ct.dry_friction_force)
+    r_k = fp.self_friction_kernel(f, geom, density, r0, budgets,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                               rtol=2e-5, atol=1e-6)
 
 
 def test_detectors_emit_unique_pairs():
