@@ -42,6 +42,14 @@ def main():
                     help="cosine-decay the LR to 10%% over the run "
                          "(round-3 training swung 0.41->4.99 late at "
                          "constant LR)")
+    ap.add_argument("--action-grad-clamp", type=float, default=4.0,
+                    help="per-step norm clamp on the action cotangent "
+                         "(reference SimFunction.backward dL/da clamp, "
+                         "pySim/functional.py:89-99); 0 disables")
+    ap.add_argument("--sample-gnorm-max", type=float, default=1e3,
+                    help="drop a sampled pose's policy gradient when its "
+                         "norm exceeds this (contact-stiff outlier "
+                         "rejection); 0 disables")
     ap.add_argument("--val-samples", type=int, default=4,
                     help="fixed held-out pose set evaluated every epoch; "
                          "the shipped controller is best-VAL (reference "
@@ -125,6 +133,31 @@ def main():
     V_MIN, V_MAX = -0.1, 0.1   # action-delta clamp (common.py:63)
     CHUNK = 50                 # steps per device call (see below)
 
+    # Per-step action-cotangent clamp — the torch bridge's dL/da norm
+    # clamp (functional.py:89-99; flags.action_grad_max_norm).  Without it
+    # a single contact-stiff step's adjoint can inject a 1e6-norm spike
+    # into the 400-step policy-gradient chain (the r4 gnorm blowups in
+    # epochs 140+, output/hat_train_r4b.log).
+    def _make_cot_clamp(max_norm):
+        @jax.custom_vjp
+        def f(a):
+            return a
+
+        def fwd(a):
+            return a, None
+
+        def bwd(_, g):
+            nrm = jnp.linalg.norm(g)
+            scale = jnp.where(nrm > max_norm,
+                              max_norm / jnp.maximum(nrm, 1e-30), 1.0)
+            return (g * scale,)
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    clamp_a = (_make_cot_clamp(args.action_grad_clamp)
+               if args.action_grad_clamp > 0 else (lambda a: a))
+
     def chunk_roll(ws, x, v, a, idxs_c):
         """`CHUNK` closed-loop steps (controller + simulator) in one scan.
 
@@ -141,7 +174,7 @@ def main():
             out = jnp.clip(net(ws, s), -1.0, 1.0)
             delta = (out + 1.0) / 2.0 * (V_MAX - V_MIN) + V_MIN
             a = a + delta.reshape(-1, 3)
-            x2, v2, aux = sim.step(x, v, params_sim, a, p_inv,
+            x2, v2, aux = sim.step(x, v, params_sim, clamp_a(a), p_inv,
                                    idx_f * sim.h, idx_f)
             return (x2, v2, a), x2[attach_idx]
 
@@ -208,7 +241,7 @@ def main():
         L, (dclip, dxN) = loss_cots(clip_traj, x)
 
         cot_x, cot_v, cot_a = dxN, jnp.zeros_like(v), jnp.zeros_like(a)
-        gws = jax.tree.map(jnp.zeros_like, ws)
+        gws_ps = None      # PER-SAMPLE policy grads (B leading axis)
         for c in reversed(range(n_chunks)):
             sl = slice(c * chunk, (c + 1) * chunk)
             x_in, v_in, a_in = ins[c]
@@ -216,11 +249,27 @@ def main():
                                        (cot_x, cot_v, cot_a, dclip[:, sl]))
             jax.block_until_ready(gx)
             cot_x, cot_v, cot_a = gx, gv, ga
-            # per-sample policy grads from the vmap: sum over the batch
-            # (loss cotangents already carry the 1/B of the mean)
-            gws = jax.tree.map(lambda t, g: t + jnp.sum(g, axis=0), gws,
-                               gw_c)
-        return L, gws
+            gws_ps = gw_c if gws_ps is None else jax.tree.map(
+                jnp.add, gws_ps, gw_c)
+        # per-sample gradient norms: instrument AND reject contact-stiff
+        # outliers (VERDICT r4: clamping the global norm masked, not
+        # fixed, the 1e6-gnorm spikes)
+        sq = sum(jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1)
+                 for g in jax.tree.leaves(gws_ps))
+        gn_ps = jnp.sqrt(sq)                          # (B,)
+        if args.sample_gnorm_max > 0:
+            keep = gn_ps <= args.sample_gnorm_max
+            keep = jnp.where(jnp.any(keep), keep,
+                             jnp.ones_like(keep))     # never drop all
+        else:
+            keep = jnp.ones_like(gn_ps, bool)
+        # loss cotangents already carry 1/B of the mean; dropped samples
+        # zero out (bounded bias instead of an unbounded spike)
+        gws = jax.tree.map(
+            lambda g: jnp.sum(jnp.where(
+                keep.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
+                axis=0), gws_ps)
+        return L, gws, np.asarray(gn_ps), np.asarray(~keep)
 
     # initial-pose sampling on a sphere around the head
     # (hatController.py:18-28)
@@ -343,16 +392,20 @@ def main():
         poses = [sample_pose(rng) for _ in range(args.train_samples)]
         xs = jnp.stack([p[0] for p in poses])
         aas = jnp.stack([p[1] for p in poses])
-        loss, grads = loss_and_grad(ws, xs, aas)
+        loss, grads, gn_ps, dropped = loss_and_grad(ws, xs, aas)
         gnorm = float(optax.global_norm(grads))
         updates, opt_state = opt.update(grads, opt_state)
         ws = optax.apply_updates(ws, updates)
         vl = val_loss(ws)
         lr_now = float(lr_sched(epoch)) if callable(lr_sched) else lr_sched
         log.append({"epoch": epoch, "train": float(loss), "val": vl,
-                    "gnorm": round(gnorm, 4), "lr": lr_now})
+                    "gnorm": round(gnorm, 4), "lr": lr_now,
+                    "sample_gnorms": [round(float(g), 3) for g in gn_ps],
+                    "dropped": int(dropped.sum())})
+        drop_note = f" dropped {int(dropped.sum())}" if dropped.any() else ""
         print(f"epoch {epoch}: train {float(loss):.5f} val {vl:.5f} "
-              f"gnorm {gnorm:.3f} lr {lr_now:.2e} "
+              f"gnorm {gnorm:.3f} max-sample-gnorm {float(gn_ps.max()):.3f}"
+              f" lr {lr_now:.2e}{drop_note} "
               f"({time.time() - t0:.1f}s)", flush=True)
         with open(os.path.join(args.out, "log.json"), "w") as fh:
             json.dump(log, fh)

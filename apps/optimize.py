@@ -36,6 +36,17 @@ def main():
     ap.add_argument("--tau", type=float, default=0.0,
                     help="softmax temperature for the keypoint loss "
                          "(sock); 0 = reference hard max")
+    ap.add_argument("--max-backward-iters", type=int, default=None,
+                    help="adjoint fixed-point cap override (reference "
+                         "400, Simulation.cpp:1561)")
+    ap.add_argument("--population", type=int, default=0,
+                    help="lockstep multi-start: this many independent "
+                         "L-BFGS instances advanced with batched vmapped "
+                         "evaluations (optim.lbfgsb."
+                         "minimize_lbfgsb_population)")
+    ap.add_argument("--export-iters", action="store_true",
+                    help="export every accepted L-BFGS iterate's full "
+                         "trajectory (reference exportOptimizationRecords)")
     ap.add_argument("--tau-ladder", action="store_true",
                     help="graduated smoothing: anneal the keypoint tau "
                          "over rungs (2.0, 0.5, 0.1, 0), warm-starting "
@@ -121,9 +132,12 @@ def main():
         print("exported to", out_dir)
         return
     task_kwargs = {"keypoint_tau": args.tau} if args.tau > 0 else {}
+    if args.max_backward_iters is not None:
+        task_kwargs["max_backward_iters"] = args.max_backward_iters
     res = solve_demo(args.demo, seed=args.seed, maxiter=args.maxiter,
                      dtype=dtype, export_dir=out_dir,
-                     n_restarts=args.restarts, **task_kwargs)
+                     n_restarts=args.restarts, population=args.population,
+                     export_iters=args.export_iters, **task_kwargs)
     if args.tau > 0:
         # report the reference's hard-max loss at the smoothed optimum
         from diffcloth_tpu import losses as _losses

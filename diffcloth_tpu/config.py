@@ -175,7 +175,29 @@ class SimFlags:
     gradient_clipping_threshold: float = 16.0  # reference: Simulation.h:330
     # PD forward-iteration cap rule: -log10(eps) * 150 (Simulation.cpp:1182)
     max_forward_iters: Optional[int] = None
-    max_backward_iters: int = 400  # reference: Simulation.cpp:1561
+    # adjoint matvec budget.  The reference caps its fixed point at 400
+    # (Simulation.cpp:1561), but on f32 plateau-exit states the iteration
+    # stalls at ~1e-1..1e-2 of ||w|| long before 400 and can then diverge
+    # (output/adjoint_parity_r5.json) — iterations past the stall buy
+    # nothing and the GMRES fallback polishes from wherever the cap
+    # lands.  64 is validated three ways: cap-40-vs-400 gradient parity
+    # on a contact-stiff CPU f64 rollout (test_grad_parity_reduced_
+    # adjoint_cap_contact), single-rollout FD cosine 0.988 on chip, and a
+    # BYTE-IDENTICAL tshirt wind-sysID optimization trajectory at cap 64
+    # vs 400 (output/tshirt-opt-r5-cap{64,400}) at 1.5x the wall-clock
+    # speed (2x batched: 329 vs 172 ep-grad steps/s at B=64).
+    max_backward_iters: int = 64
+    # adjoint solver: 'fp' (the reference's fixed point, Simulation.cpp
+    # :1569-1599, + while_loop GMRES fallback) or 'gmres' (EXPERIMENTAL:
+    # restarted preconditioned GMRES as the primary solver).  The f32
+    # plateau-exit states have rho(P^-1 dK^T) ~ 1 where the fixed point
+    # stalls (output/adjoint_parity_r5.json), yet fp+fallback remains the
+    # FD-consistent choice end-to-end: GMRES's per-step early exits leave
+    # ~5-10% residuals that AMPLIFY through the 250-step cotangent
+    # recursion (measured on chip: 100x-off episode gradients), while the
+    # long fp + 3x GMRES(16) polish reaches lower per-step residuals.
+    adjoint_mode: str = "fp"
+    adjoint_gmres_m: int = 16      # Krylov vectors per restarted cycle
     # dL/da (action gradient) norm clamp used by the NN bridge
     action_grad_max_norm: float = 4.0  # reference: pySim/functional.py:92
 

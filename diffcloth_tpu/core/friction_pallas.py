@@ -376,32 +376,29 @@ def _bwd_kernel(counts_ref, g_ref, idxr_ref, idxp_ref, nrmT_ref,
         gout_ref[b] = g
 
 
-def _pick_block_b(B: int, n_pad: int, TC: int) -> int:
-    """Largest sample block whose double-buffered VMEM footprint stays
-    well under the ~16 MB budget (the r4 fixed block_b=8 OOM'd at dress
-    scale)."""
-    import os
-    env = os.environ.get("DIFFCLOTH_FRIC_BLOCK_B", "")
-    if env:
-        bb = max(1, min(int(env), B))
-        return bb if B % bb == 0 else 1
-    per_sample = 4 * (3 * 8 * n_pad + 10 * TC)   # frT in/out + vals + slots
-    budget = 6 * 1024 * 1024                     # /2 for double buffering
-    bb = max(1, min(8, budget // max(per_sample, 1), B))
-    while B % bb != 0:
-        bb -= 1
-    return bb
-
-
 def _grid_call(kernel_body, n_outs_extra, counts, frT, *slot_args,
                specs, interpret: bool):
     """Shared pallas_call launcher: batched (B, ...) operands, grid over
-    sample blocks, counts in SMEM."""
-    B, _, n_pad = frT.shape
-    TC = specs[-1][0] + specs[-1][1]
+    sample blocks, counts in SMEM.  Batches are zero-padded to a multiple
+    of 8 samples (Mosaic block-divisibility; padded rows carry zero
+    counts and cost only their VMEM copies)."""
+    B = frT.shape[0]
+    if B % 8 == 0 or B <= 8:
+        # divisible blocks, or a single full-array block (both satisfy
+        # Mosaic's divisible-by-8-or-full-axis rule)
+        B8 = B
+        Bb = 8 if B % 8 == 0 else B
+    else:
+        B8 = _round_up(B, 8)
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((B8 - B,) + a.shape[1:], a.dtype)], axis=0)
+        counts = pad(counts)
+        frT = pad(frT)
+        slot_args = tuple(pad(a) for a in slot_args)
+        Bb = 8
+    n_pad = frT.shape[-1]
     L = len(specs)
-    Bb = _pick_block_b(B, n_pad, TC)
-    grid = (B // Bb,)
+    grid = (B8 // Bb,)
     kernel = functools.partial(kernel_body, specs=specs, block_b=Bb)
     vblk = lambda *s: pl.BlockSpec(
         (Bb,) + s, lambda g: (g,) + (0,) * len(s),
@@ -413,14 +410,17 @@ def _grid_call(kernel_body, n_outs_extra, counts, frT, *slot_args,
     for s in shapes:
         in_specs.append(vblk(*s))
     out_specs = [vblk(8, n_pad)]
-    out_shape = [jax.ShapeDtypeStruct((B, 8, n_pad), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((B8, 8, n_pad), jnp.float32)]
     for s in n_outs_extra:
         out_specs.append(vblk(*s))
-        out_shape.append(jax.ShapeDtypeStruct((B,) + s, jnp.float32))
-    return pl.pallas_call(
+        out_shape.append(jax.ShapeDtypeStruct((B8,) + s, jnp.float32))
+    out = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
     )(counts, frT, *slot_args)
+    if B8 != B:
+        out = [o[:B] for o in out]
+    return out
 
 
 _CACHE: dict = {}

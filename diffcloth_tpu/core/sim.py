@@ -592,16 +592,64 @@ class ClothSim:
         X, V, stats, _ = self._chunk_forward(params, p_inv, xfs, chunk)
         return self._records_from_chunks(params, xfs, X, V, stats)
 
-    def episode_loss_chunked(self, loss_fn, chunk: int = 50):
+    def episode_loss_chunked(self, loss_fn, chunk: int = 50,
+                             batched: bool = False):
         """Forward-only chunked loss evaluation (params -> float loss).
         Shares the compiled chunk executables with the gradient path, so a
         restart filter or a ladder's hard-loss check costs no extra
         compilation and never launches a monolithic full-horizon
-        execution."""
+        execution.
+
+        batched=True evaluates a POPULATION: params with a leading batch
+        axis on every leaf -> (B,) losses from one vmapped executable (the
+        restart filter / multi-start evaluation path).  Like the batched
+        gradient path, the prefactorization is shared: k_pertype/density
+        must be identical across the batch."""
         if self.n_stages > 1:
             def value_multistage(params):
                 return loss_fn(self.rollout(params))
             return value_multistage
+
+        if batched:
+            chunk_b = self._chunk_size(chunk)
+            fwd_jit, _ = self._chunk_execs(chunk_b, batched=True)
+            N = self.n_steps
+
+            def value_batched(params_b):
+                p0 = jax.tree.map(lambda a: a[0], params_b)
+                p_inv = self._p_inv_fn(p0.k_pertype, p0.density)
+                xfs = jax.vmap(self.x_fixed_seq)(params_b)
+                idx_f = jnp.arange(1, N + 1, dtype=self.dtype)
+                x, v = params_b.x0, params_b.v0
+                frozen = jnp.zeros((x.shape[0],), bool)
+                Xs, Vs = [], []
+                for c in range(N // chunk_b):
+                    sl = slice(c * chunk_b, (c + 1) * chunk_b)
+                    x, v, frozen, Xc, Vc, _ = fwd_jit(
+                        x, v, frozen, params_b, p_inv, xfs[:, sl],
+                        idx_f[sl])
+                    jax.block_until_ready(x)
+                    Xs.append(Xc)
+                    Vs.append(Vc)
+                X = jnp.concatenate(Xs, axis=1)
+                V = jnp.concatenate(Vs, axis=1)
+
+                def one_loss(Xb, Vb, xfsb, pb):
+                    recs = EpisodeRecords(
+                        x0=pb.x0, v0=pb.v0,
+                        steps=StepRecord(
+                            x=Xb, v=Vb, f=jnp.zeros_like(Xb),
+                            r=jnp.zeros_like(Xb), x_fixed=xfsb,
+                            converged=jnp.ones((N,), bool),
+                            iters=jnp.zeros((N,), jnp.int32),
+                            avg_deformation=jnp.ones((N,), Xb.dtype),
+                            max_deformation=jnp.ones((N,), Xb.dtype),
+                            selfcol_overflow=jnp.zeros((N,), bool)))
+                    return loss_fn(recs)
+
+                return jax.jit(jax.vmap(one_loss))(X, V, xfs, params_b)
+
+            return value_batched
 
         def value(params):
             p_inv = self.p_inv(params)

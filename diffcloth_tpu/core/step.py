@@ -94,7 +94,7 @@ class SelfColConfig(NamedTuple):
     compact_budgets: object = None
 
 
-def _gmres_cycle(op, b, x0, m: int):
+def _gmres_cycle(op, b, x0, m: int, with_residual: bool = False):
     """One GMRES(m) cycle on op(u) = b from x0 — plain lax ops only.
 
     `jax.scipy.sparse.linalg.gmres` builds a `custom_linear_solve`, which
@@ -103,7 +103,11 @@ def _gmres_cycle(op, b, x0, m: int):
     This runs inside the step's backward pass (never differentiated), so a
     hand-rolled Arnoldi cycle with static shapes is both sufficient and
     simpler.  Operands are flattened to vectors; H is the (m+1, m)
-    Hessenberg least-squares system solved densely at the end."""
+    Hessenberg least-squares system solved densely at the end.
+
+    with_residual=True additionally returns the FREE residual-norm
+    estimate ||beta e1 - H y|| == ||b - op(x)|| (exact in exact
+    arithmetic) — the early-exit signal for restarted cycles."""
     shape = x0.shape
     flat = lambda a: a.reshape(-1)
     r0 = flat(b - op(x0))
@@ -130,7 +134,10 @@ def _gmres_cycle(op, b, x0, m: int):
     V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
     e1 = jnp.zeros((m + 1,), r0.dtype).at[0].set(beta)
     y, *_ = jnp.linalg.lstsq(H, e1)
-    return x0 + (y @ V[:m]).reshape(shape)
+    x = x0 + (y @ V[:m]).reshape(shape)
+    if with_residual:
+        return x, jnp.linalg.norm(e1 - H @ y)
+    return x
 
 
 def _solve(p_inv, rhs):
@@ -669,59 +676,126 @@ def make_step(scene: SceneDev, stage: StageDev, prims: ct.PrimitiveSet,
 
         w_norm_in = jnp.linalg.norm(w)
 
-        _, vjp_v = jax.vjp(
-            lambda vn: residual(vn, x_n, v_n, params, x_fixed, contact,
-                                selfc, t, step_idx), v_new)
+        # One VJP of K(v) = b~(x_n + h v) + r(f(v)) instead of the full
+        # residual R = P v - K: since P lam - (dR/dv)^T lam = (dK/dv)^T lam
+        # exactly (P is constant in v), the fixed-point rhs needs ONLY
+        # vjp_k — saving one apply_P (4 per-type AtA matmuls) per trip.
+        def k_fn(vn):
+            m_k = masses(params)
+            f_ext_k, _ = external_force(params, m_k, t, step_idx)
+            x_new_k = x_n + h * vn
+            btilde_k = btilde_of(params, m_k, f_ext_k, x_n, v_n, x_new_k,
+                                 x_fixed)
+            f_k = btilde_k - h2 * apply_AtA_all(params.k_pertype, vn)
+            r_k = friction(params, contact, selfc, m_k, f_k,
+                           differentiable=True)
+            return btilde_k + r_k
 
-        Sk_b = None
-        solve = solver_for(params, Sk_b)
+        _, vjp_k = jax.vjp(k_fn, v_new)
 
-        def fp_cond(c):
-            lam, lam_prev, it, done, bad = c
-            return ~(done | bad) & (it < max_back)
+        def vjp_v(u):
+            # (dR/dv)^T u for the GMRES fallback only
+            return (apply_P(params, u) - vjp_k(u)[0],)
 
-        def fp_body(c):
-            lam, _, it, _, _ = c
-            # lambda <- P^{-1} (w + P lambda - (dR/dv)^T lambda)
-            rhs = w + apply_P(params, lam, Sk_b) - vjp_v(lam)[0]
-            lam_next = solve(p_inv, rhs)
-            # reference convergence: |u_k - u_{k-1}|/n < eps_b with u = lam/h
-            delta = jnp.linalg.norm(lam_next - lam) / (n * h)
-            # divergence guard: the fixed point contracts only when
-            # ||P^-1 dRdv - I|| < 1; with stiff contact Jacobians it can
-            # blow up instead of stalling
-            bad = ~jnp.isfinite(delta) | (
-                jnp.linalg.norm(lam_next) > 1e8 * (w_norm + 1e-30))
-            return (lam_next, lam, it + 1, delta < eps_backward, bad)
+        solve = solver_for(params)
+        op_pre = lambda u: solve(p_inv, vjp_v(u)[0])
+        b_pre = solve(p_inv, w)
 
-        w_norm = jnp.linalg.norm(w)
-        lam0 = solve(p_inv, w)
-        lam, _, back_iters, back_ok, back_bad = jax.lax.while_loop(
-            fp_cond, fp_body, (lam0, jnp.zeros_like(lam0),
-                               jnp.asarray(1, jnp.int32),
-                               jnp.asarray(False), jnp.asarray(False)))
+        if flags.adjoint_mode == "gmres":
+            # ---- primary adjoint solver: restarted preconditioned GMRES.
+            # The reference's Richardson fixed point lam <- P^{-1}(w +
+            # dK^T lam) (:1569-1599) needs rho(P^{-1} dK^T) < 1; our f32
+            # plateau-exit forward states sit at rho ~ 1 (the forward PD
+            # loop masks this with best-iterate tracking), and the on-chip
+            # curves show the fp stalling at 1e-1..1e-2 then DIVERGING
+            # (output/adjoint_parity_r5.json) — every step fell through to
+            # the old GMRES fallback anyway, after wasting up to `cap`
+            # matvecs.  Left-preconditioned GMRES minimizes the residual
+            # regardless of rho; each restarted cycle exits early on the
+            # FREE Hessenberg residual estimate, on the same
+            # |P^{-1}(w - dR^T lam)|/(n h) < eps_b scale as the reference
+            # criterion.  Stagnation (a cycle improving the best residual
+            # by <5%) also stops — returning the best iterate, mirroring
+            # the forward's best-iterate revert.
+            M = flags.adjoint_gmres_m
+            max_cycles = max(1, max_back // (M + 2))
+            scale_nh = n * h
 
-        # Fallback on non-convergence/divergence: preconditioned GMRES on
-        # (dR/dv)^T lam = w.  The reference's analog is the direct SparseLU
-        # solve (Simulation.cpp:1590-1594); a dense factorization of the
-        # per-step operator is impractical on TPU, but GMRES with the
-        # constant P^{-1} as preconditioner converges where the plain
-        # fixed point does not (contact-stiff steps).
-        def gmres_fallback(_):
-            # small budget on purpose: the fallback only fires on
-            # divergent steps, and each matvec costs a full residual VJP;
-            # 16 Krylov vectors with the P^{-1} (left) preconditioner
-            # already reduces the adjoint residual by orders of magnitude,
-            # while a large budget makes the fused episode-gradient
-            # executable slow enough to trip remote-TPU execution limits
-            sol = _gmres_cycle(
-                lambda u: solve(p_inv, vjp_v(u)[0]),
-                solve(p_inv, w),
-                jnp.where(jnp.isfinite(lam0), lam0, 0.0), m=16)
-            return jnp.where(jnp.isfinite(sol), sol, 0.0)
+            def true_res(u):
+                # TRUE preconditioned residual (one matvec).  The free
+                # Hessenberg estimate is a LIE at f32: modified
+                # Gram-Schmidt loses orthogonality over the cycle (the
+                # operator itself carries the friction kernel's rounding),
+                # after which both the estimate and the lstsq step can be
+                # garbage — measured on chip as 100x-off gradients when
+                # cycles were accepted on the estimate alone.
+                return jnp.linalg.norm(solve(p_inv, w - vjp_v(u)[0]))
 
-        lam = jax.lax.cond(back_ok & ~back_bad,
-                           lambda _: lam, gmres_fallback, None)
+            def gm_cond(c):
+                _, _, best_res, cyc, stop = c
+                return ~stop & (cyc < max_cycles)
+
+            def gm_body(c):
+                cur, best, best_res, cyc, _ = c
+                sol = _gmres_cycle(op_pre, b_pre, cur, m=M)
+                res = true_res(sol)
+                ok = jnp.isfinite(res) & jnp.all(jnp.isfinite(sol))
+                better = ok & (res < best_res)
+                best2 = jnp.where(better, sol, best)
+                best_res2 = jnp.where(better, res, best_res)
+                stop = ((best_res2 / scale_nh < eps_backward)
+                        | ~better | (res > 0.9 * best_res))
+                # restart from the best iterate so a garbage cycle can
+                # never poison the Krylov start
+                return (best2, best2, best_res2, cyc + 1, stop)
+
+            r0 = true_res(b_pre)
+            r0 = jnp.where(jnp.isfinite(r0), r0, jnp.inf)
+            _, lam, _, back_cycles, _ = jax.lax.while_loop(
+                gm_cond, gm_body,
+                (b_pre, b_pre, r0, jnp.asarray(0, jnp.int32),
+                 (r0 / scale_nh < eps_backward)))
+        else:
+            # ---- legacy 'fp' mode: the reference's fixed point with a
+            # while_loop GMRES fallback (kept as a cross-check oracle)
+            def fp_cond(c):
+                lam, lam_prev, it, done, bad = c
+                return ~(done | bad) & (it < max_back)
+
+            def fp_body(c):
+                lam, _, it, _, _ = c
+                rhs = w + vjp_k(lam)[0]
+                lam_next = solve(p_inv, rhs)
+                delta = jnp.linalg.norm(lam_next - lam) / (n * h)
+                bad = ~jnp.isfinite(delta) | (
+                    jnp.linalg.norm(lam_next) > 1e8 * (w_norm_in + 1e-30))
+                return (lam_next, lam, it + 1, delta < eps_backward, bad)
+
+            lam, _, back_iters, back_ok, back_bad = jax.lax.while_loop(
+                fp_cond, fp_body, (b_pre, jnp.zeros_like(b_pre),
+                                   jnp.asarray(1, jnp.int32),
+                                   jnp.asarray(False), jnp.asarray(False)))
+
+            # while_loop (NOT lax.cond) fallback: a cond with a batched
+            # predicate lowers to select — both branches execute for every
+            # sample; the while runs zero trips when no sample needs it
+            def fb_cond(c):
+                _, need, cyc = c
+                return need & (cyc < 3)
+
+            def fb_body(c):
+                lam_c, _, cyc = c
+                x0g = jnp.where(jnp.isfinite(lam_c), lam_c, 0.0)
+                sol = _gmres_cycle(op_pre, b_pre, x0g, m=16)
+                sol = jnp.where(jnp.isfinite(sol), sol, 0.0)
+                res = jnp.linalg.norm(
+                    solve(p_inv, w - vjp_v(sol)[0])) / (n * h)
+                return sol, (res >= eps_backward) | ~jnp.isfinite(res), \
+                    cyc + 1
+
+            need0 = ~(back_ok & ~back_bad) & (w_norm_in > 0)
+            lam, _, _ = jax.lax.while_loop(
+                fb_cond, fb_body, (lam, need0, jnp.asarray(0, jnp.int32)))
         # zero-cotangent short-circuit: a frozen (exploded) step receives
         # zero cotangents through the scan's freeze select; the lam=0
         # solution is exact there, but evaluating the residual VJP at the

@@ -234,3 +234,46 @@ class OptimizeHelper:
         self.eval_count += 1
         self.history.append((float(L), np.array(x)))
         return float(L), g
+
+    # ------------------------------------------------- population (batched)
+
+    @property
+    def can_batch(self) -> bool:
+        """Batched evaluation shares one prefactorization across the
+        population, so parameter vectors that change P (stiffness/density)
+        cannot ride the vmapped executables."""
+        return not (any(self.mask.k_pertype) or self.mask.density)
+
+    def stack_vecs(self, X: np.ndarray) -> SimParams:
+        """(P, D) candidate vectors -> SimParams with a leading batch axis
+        on every leaf."""
+        plist = [self.vec_to_params(np.asarray(x)) for x in np.asarray(X)]
+        return jax.tree.map(lambda *a: jnp.stack(a), *plist)
+
+    def batched_loss(self, X: np.ndarray) -> np.ndarray:
+        """(P, D) -> (P,) losses from ONE vmapped chunked forward (the
+        restart filter: reference OptimizeHelper.cpp:316-359 evaluates
+        candidates serially; a TPU evaluates the whole population for the
+        price of one)."""
+        if getattr(self, "_batched_loss_eval", None) is None:
+            self._batched_loss_eval = self.sim.episode_loss_chunked(
+                self.loss_fn, chunk=self.chunk, batched=True)
+        return np.asarray(self._batched_loss_eval(self.stack_vecs(X)))
+
+    def batched_loss_and_grad(self, X: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """(P, D) -> ((P,), (P, D)): one vmapped chunked episode
+        value_and_grad over the whole population (the lockstep multi-start
+        L-BFGS inner loop, optim.lbfgsb.minimize_lbfgsb_population)."""
+        assert self.can_batch, ("population evaluation shares one "
+                                "prefactorization: stiffness/density "
+                                "cannot vary across candidates")
+        if getattr(self, "_batched_vg", None) is None:
+            self._batched_vg = self.sim.episode_value_and_grad_chunked(
+                self.loss_fn, chunk=self.chunk, batched=True)
+        L, grads = self._batched_vg(self.stack_vecs(X))
+        P = np.asarray(X).shape[0]
+        G = np.stack([self.grads_to_vec(
+            jax.tree.map(lambda a: a[i], grads)) for i in range(P)])
+        self.eval_count += P
+        return np.asarray(L, np.float64), G

@@ -203,3 +203,145 @@ def minimize_lbfgsb(loss_and_grad: Callable[[np.ndarray],
                        n_iters=int(res.nit),
                        n_evals=int(res.nfev), converged=bool(res.success),
                        message=str(res.message), loss_history=history)
+
+
+@dataclasses.dataclass
+class PopulationResult:
+    """Outcome of a lockstep multi-start run: per-candidate endpoints plus
+    the winner repackaged as a standard LbfgsResult."""
+    X: np.ndarray            # (P, D) final iterates
+    losses: np.ndarray       # (P,) final losses
+    messages: List[str]
+    n_iters: np.ndarray      # (P,) accepted steps per candidate
+    n_outer: int
+    n_batched_evals: int
+    best: LbfgsResult = None
+
+
+def minimize_lbfgsb_population(batched_loss_and_grad, X0, lower, upper, *,
+                               ftol: float = 1e-6, m: int = 10,
+                               max_linesearch: int = 20,
+                               gtol: float = 1e-10, maxiter: int = 100,
+                               callback=None) -> PopulationResult:
+    """P independent projected L-BFGS-B instances advanced in LOCKSTEP:
+    every objective evaluation in the outer loop and in the backtracking
+    ladder is ONE batched (P, D) call, so a whole population costs the
+    wall-clock of a single optimization (the reference's serial random
+    restarts + per-restart L-BFGS, OptimizeHelper.cpp:316-359 +
+    BackwardTaskSolver.cpp:22-66, collapsed onto the vmapped executables).
+
+    Same per-candidate math as minimize_lbfgsb_native (two-loop recursion,
+    projected-arc Armijo ladder, reference ftol criterion); candidates
+    that fail their linesearch or converge freeze while the rest continue
+    (their rows still ride along in the batch — a frozen row re-evaluates
+    its current point, which costs nothing extra on device)."""
+    X0 = np.atleast_2d(np.asarray(X0, np.float64))
+    P, D = X0.shape
+    lower = np.asarray(lower, np.float64)
+    upper = np.asarray(upper, np.float64)
+    rngv = np.where(upper - lower > 0, upper - lower, 1.0)
+
+    n_evals = 0
+
+    def fun(Z):
+        nonlocal n_evals
+        n_evals += 1
+        L, G = batched_loss_and_grad(lower[None] + Z * rngv[None])
+        return np.asarray(L, np.float64), np.asarray(G, np.float64) * rngv
+
+    Z = (np.clip(X0, lower, upper) - lower) / rngv
+    F, G = fun(Z)
+    S = [[] for _ in range(P)]
+    Y = [[] for _ in range(P)]
+    rho = [[] for _ in range(P)]
+    frozen = np.zeros(P, bool)
+    conv = np.zeros(P, bool)
+    msgs = ["max iterations reached"] * P
+    iters = np.zeros(P, int)
+    n_outer = 0
+    for it in range(maxiter):
+        if frozen.all():
+            break
+        n_outer += 1
+        Dirs = np.zeros((P, D))
+        ladders: List[List[float]] = []
+        for p in range(P):
+            if frozen[p]:
+                ladders.append([])
+                continue
+            d = -_two_loop(G[p], S[p], Y[p], rho[p])
+            if np.dot(d, G[p]) > -1e-15:
+                S[p].clear(); Y[p].clear(); rho[p].clear()
+                d = -G[p]
+            Dirs[p] = d
+            d_inf = np.linalg.norm(d, np.inf)
+            alpha0 = 1.0 if S[p] else min(1.0, 0.1 / max(d_inf, 1e-30))
+            lad = [alpha0 * (0.25 ** k) for k in range(max_linesearch - 4)]
+            lad += [alpha0 * (4.0 ** k) for k in range(1, 5)
+                    if alpha0 * (4.0 ** k) * d_inf <= 1.0]
+            ladders.append(lad)
+        accepted = frozen.copy()
+        Zn, Fn, Gn = Z.copy(), F.copy(), G.copy()
+        max_rungs = max((len(l) for l in ladders), default=0)
+        for k in range(max_rungs):
+            todo = ~accepted
+            if not todo.any():
+                break
+            Zt = Z.copy()
+            sn = np.zeros(P)
+            valid = np.zeros(P, bool)
+            for p in np.where(todo)[0]:
+                if k >= len(ladders[p]):
+                    continue
+                zt = np.clip(Z[p] + ladders[p][k] * Dirs[p], 0.0, 1.0)
+                step = zt - Z[p]
+                s = np.dot(G[p], step)
+                if s >= 0 or not np.any(step):
+                    continue
+                Zt[p] = zt
+                sn[p] = s
+                valid[p] = True
+            if not valid.any():
+                continue
+            Ft, Gt = fun(Zt)
+            acc_now = valid & np.isfinite(Ft) & (Ft <= F + 1e-4 * sn)
+            for p in np.where(acc_now)[0]:
+                Zn[p], Fn[p], Gn[p] = Zt[p], Ft[p], Gt[p]
+            accepted |= acc_now
+        failed = ~accepted & ~frozen
+        for p in np.where(failed)[0]:
+            msgs[p] = "linesearch failed"
+            conv[p] = bool(np.linalg.norm(
+                np.clip(Z[p] - G[p], 0.0, 1.0) - Z[p], np.inf)
+                <= max(gtol, 1e-8))
+        frozen |= failed
+        moved = accepted & ~frozen
+        for p in np.where(moved)[0]:
+            s, y = Zn[p] - Z[p], Gn[p] - G[p]
+            sy = np.dot(s, y)
+            if sy > 1e-10 * np.linalg.norm(s) * np.linalg.norm(y):
+                S[p].append(s); Y[p].append(y); rho[p].append(1.0 / sy)
+                if len(S[p]) > m:
+                    S[p].pop(0); Y[p].pop(0); rho[p].pop(0)
+            iters[p] += 1
+            df = F[p] - Fn[p]
+            if df <= ftol * max(1.0, abs(Fn[p]), abs(F[p])):
+                frozen[p] = True
+                conv[p] = True
+                msgs[p] = "relative reduction of f <= ftol"
+            elif np.linalg.norm(np.clip(Zn[p] - Gn[p], 0.0, 1.0) - Zn[p],
+                                np.inf) <= gtol:
+                frozen[p] = True
+                conv[p] = True
+                msgs[p] = "projected gradient <= gtol"
+        Z, F, G = Zn, Fn, Gn
+        if callback is not None:
+            callback(it + 1, lower[None] + Z * rngv[None], F)
+    Xf = lower[None] + Z * rngv[None]
+    b = int(np.argmin(F))
+    best = LbfgsResult(x=Xf[b], loss=float(F[b]), n_iters=int(iters[b]),
+                       n_evals=n_evals, converged=bool(conv[b]),
+                       message=msgs[b], loss_history=[float(F[b])])
+    return PopulationResult(X=Xf, losses=F, messages=msgs, n_iters=iters,
+                            n_outer=n_outer, n_batched_evals=n_evals,
+                            best=best)

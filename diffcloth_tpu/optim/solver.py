@@ -14,8 +14,26 @@ from typing import Optional
 import numpy as np
 
 from diffcloth_tpu.optim.helper import OptimizeHelper
-from diffcloth_tpu.optim.lbfgsb import LbfgsResult, minimize_lbfgsb
+from diffcloth_tpu.optim.lbfgsb import (LbfgsResult, minimize_lbfgsb,
+                                        minimize_lbfgsb_population)
 from diffcloth_tpu.tasks.setup import TaskSetup, build_task
+
+
+def _filter_restarts(helper: OptimizeHelper, x0: np.ndarray,
+                     n_restarts: int, base_seed: int) -> np.ndarray:
+    """Evaluate the default guess + n_restarts bounded random candidates
+    and return the lowest-loss valid one.  One vmapped batched forward
+    when the task's parameters share the prefactorization (can_batch);
+    serial fallback otherwise (stiffness/density candidates each need
+    their own refactorization).  reference: OptimizeHelper.cpp:316-359."""
+    cands = [x0] + [helper.random_param(base_seed + 1 + i)
+                    for i in range(n_restarts)]
+    if helper.can_batch and len(cands) > 1:
+        losses = helper.batched_loss(np.stack(cands))
+    else:
+        losses = np.array([helper.loss(c) for c in cands])
+    losses = np.where(np.isfinite(losses), losses, np.inf)
+    return cands[int(np.argmin(losses))]
 
 
 def default_guess_vec(task: TaskSetup, helper: OptimizeHelper) -> np.ndarray:
@@ -56,7 +74,8 @@ class DemoResult:
 def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
                dtype=None, export_dir: Optional[str] = None,
                n_restarts: int = 0, checkpoint_dir: Optional[str] = None,
-               resume: bool = False,
+               resume: bool = False, population: int = 0,
+               export_iters: bool = False,
                **task_kwargs) -> DemoResult:
     """Run one trajectory/parameter optimization demo end-to-end.
 
@@ -64,14 +83,22 @@ def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
     splines translated, otherwise mid-bounds); an integer seed draws a
     bounded random restart (reference `-seed N`, main.cpp:115-150).
 
-    n_restarts>0 samples that many bounded random candidates, forward-
-    simulates each, filters out invalid ones (non-finite loss — the
-    reference's validity filters reject exploded/degenerate rollouts,
-    OptimizeHelper.cpp:316-359,445-488) and starts L-BFGS from the
-    lowest-loss valid candidate."""
-    import jax.numpy as jnp
+    n_restarts>0 samples that many bounded random candidates, evaluates
+    them all in ONE vmapped batched forward (serial fallback when the
+    candidates change the prefactorization), filters out invalid ones
+    (non-finite loss — the reference's validity filters reject exploded/
+    degenerate rollouts, OptimizeHelper.cpp:316-359,445-488) and starts
+    L-BFGS from the lowest-loss valid candidate.
 
-    import numpy as _np
+    population>0 instead runs that many independent L-BFGS-B instances in
+    LOCKSTEP from (default guess + population-1 random candidates), every
+    evaluation one vmapped batch (minimize_lbfgsb_population); the best
+    endpoint is reported.  Requires batchable parameters (helper.can_batch).
+
+    export_iters=True additionally exports every accepted L-BFGS
+    iterate's full trajectory (reference exportOptimizationRecords,
+    Simulation.cpp:3963-4001 — iter0/.../iterK frame folders)."""
+    import jax.numpy as jnp
 
     task = build_task(demo, dtype=dtype or jnp.float32, **task_kwargs)
     helper = OptimizeHelper(task.sim, task.mask, task.loss_fn(),
@@ -82,18 +109,40 @@ def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
     else:
         x0 = default_guess_vec(task, helper)
 
-    if n_restarts > 0:
+    if population > 0:
+        if not helper.can_batch:
+            raise ValueError("population mode needs batchable parameters "
+                             "(stiffness/density change the "
+                             "prefactorization)")
         base_seed = 0 if seed is None else seed
-        best, best_loss = x0, float(helper.loss(x0))
-        for i in range(n_restarts):
-            cand = helper.random_param(base_seed + 1 + i)
-            li = float(helper.loss(cand))
-            if np.isfinite(li) and li < best_loss:
-                best, best_loss = cand, li
-        x0 = best
+        X0 = np.stack([x0] + [helper.random_param(base_seed + 1 + i)
+                              for i in range(population - 1)])
+        t0 = time.time()
+        pop = minimize_lbfgsb_population(
+            helper.batched_loss_and_grad, X0,
+            helper.lower_bound, helper.upper_bound, maxiter=maxiter)
+        wall = time.time() - t0
+        res = pop.best
+        if export_dir:
+            export_optimization(export_dir, demo, helper, res)
+            with open(os.path.join(export_dir, "population.json"),
+                      "w") as fh:
+                json.dump({"P": population,
+                           "losses": pop.losses.tolist(),
+                           "messages": pop.messages,
+                           "n_iters": pop.n_iters.tolist(),
+                           "n_outer": pop.n_outer,
+                           "n_batched_evals": pop.n_batched_evals,
+                           "wallclock_s": wall}, fh, indent=1)
+        return DemoResult(task=task, helper=helper, result=res,
+                          x_init=X0[0], wallclock_s=wall)
+
+    if n_restarts > 0:
+        x0 = _filter_restarts(helper, x0, n_restarts,
+                              0 if seed is None else seed)
 
     done_iters = 0
-    cb = None
+    cbs = []
     if checkpoint_dir:
         from diffcloth_tpu.utils import checkpoint as ckpt
         if resume:
@@ -103,9 +152,19 @@ def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
                                                             step)
                 x0 = np.asarray(state["x"], np.float64)
 
+        cbs.append(lambda it, xk: ckpt.save_checkpoint(
+            checkpoint_dir, done_iters + it, {"x": xk},
+            metadata={"demo": demo}))
+
+    iterates: list = []
+    if export_iters:
+        cbs.append(lambda it, xk: iterates.append(np.array(xk)))
+
+    cb = None
+    if cbs:
         def cb(it, xk):
-            ckpt.save_checkpoint(checkpoint_dir, done_iters + it,
-                                 {"x": xk}, metadata={"demo": demo})
+            for f in cbs:
+                f(it, xk)
 
     t0 = time.time()
     res = minimize_lbfgsb(helper.loss_and_grad, x0,
@@ -114,7 +173,8 @@ def solve_demo(demo: str, *, seed: Optional[int] = None, maxiter: int = 100,
     wall = time.time() - t0
 
     if export_dir:
-        export_optimization(export_dir, demo, helper, res)
+        export_optimization(export_dir, demo, helper, res,
+                            iterates=iterates if export_iters else None)
     return DemoResult(task=task, helper=helper, result=res, x_init=x0,
                       wallclock_s=wall)
 
@@ -168,14 +228,8 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
     else:
         x = default_guess_vec(task, helper0)
     if n_restarts > 0:
-        base_seed = 0 if seed is None else seed
-        best, best_loss = x, float(helper0.loss(x))
-        for i in range(n_restarts):
-            cand = helper0.random_param(base_seed + 1 + i)
-            li = float(helper0.loss(cand))
-            if np.isfinite(li) and li < best_loss:
-                best, best_loss = cand, li
-        x = best
+        x = _filter_restarts(helper0, x, n_restarts,
+                             0 if seed is None else seed)
     x_init = np.array(x)
 
     t0 = time.time()
@@ -208,10 +262,13 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
 
 
 def export_optimization(folder: str, demo: str, helper: OptimizeHelper,
-                        res: LbfgsResult) -> None:
+                        res: LbfgsResult, iterates=None) -> None:
     """Persist per-iteration losses/params + final trajectory OBJ frames
     (reference exportStatistics / exportOptimizationRecords,
-    Simulation.cpp:3963-4129)."""
+    Simulation.cpp:3963-4129).  `iterates` (accepted L-BFGS iterates from
+    solve_demo(export_iters=True)) additionally dumps iter{k}/ frame
+    folders, the reference's per-iteration debugging affordance
+    (output/tshirt-exampleopt/iter0..18)."""
     os.makedirs(folder, exist_ok=True)
     log = {
         "demo": demo,
@@ -240,3 +297,8 @@ def export_optimization(folder: str, demo: str, helper: OptimizeHelper,
     ioexp.export_episode(os.path.join(folder, "final"), recs,
                          helper.sim.scene_host.tris,
                          stats={"episode_report": stats.report()})
+    if iterates:
+        for k, xk in enumerate(iterates):
+            rk = helper.sim.rollout_chunked(helper.vec_to_params(xk))
+            ioexp.export_episode(os.path.join(folder, f"iter{k}"), rk,
+                                 helper.sim.scene_host.tris)

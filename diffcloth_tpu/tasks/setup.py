@@ -175,6 +175,7 @@ def _generate_groundtruth(sim: ClothSim, params: SimParams):
 
 
 def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,
+               max_backward_iters: int = None,
                **sim_kwargs) -> TaskSetup:
     task = registry.DEMOS[demo]
     cfg = task.scene
@@ -188,6 +189,9 @@ def build_task(demo: str, dtype=jnp.float32, keypoint_tau: float = 0.0,
     flags = SimFlags(
         wind_enabled=(demo in ("wind", "tshirt", "wind_sim2real")),
         contact_enabled=True, self_collision_enabled=True)
+    if max_backward_iters is not None:
+        import dataclasses as _dc
+        flags = _dc.replace(flags, max_backward_iters=max_backward_iters)
     sim = ClothSim(scene, dtype=dtype, prims=prims, flags=flags,
                    spline_type=spline_type, **sim_kwargs)
 

@@ -282,3 +282,90 @@ def test_gmres_fallback_gradient_is_fd_consistent():
               - loss_of(p0._replace(wind=p0.wind.at[i].add(-d)))) / (2 * d)
         np.testing.assert_allclose(float(g_fb.wind[i]), fd, rtol=2e-3,
                                    atol=1e-10)
+
+
+def test_grad_parity_reduced_adjoint_cap_contact():
+    """Reduced adjoint fixed-point cap on a CONTACT-stiff rollout: the
+    episode gradient at cap 40 must match the reference-cap (400,
+    Simulation.cpp:1561) adjoint AND central differences.  Validates the
+    r5 throughput lever (a lower cap roughly halves the backward cost on
+    chip, tools/adjoint_probe.py) before it can be a default."""
+    from diffcloth_tpu.config import LossType, PrimitiveConfig
+    from diffcloth_tpu.core import contact as ct
+
+    fab = FabricConfig(cloth_dim_x=2.0, cloth_dim_y=2.0,
+                       k_stiff_stretching=250.0, k_stiff_bending=0.05,
+                       grid_num_x=6, grid_num_y=6, density=0.3)
+    cfg = SceneConfig(
+        fabric=fab, attachment_points=AttachmentConfig.NO_ATTACHMENTS,
+        trajectory=TrajectoryConfig.NO_TRAJECTORY,
+        primitive_config=PrimitiveConfig.PLANE_AND_SPHERE,
+        wind_config=WindConfig.WIND_SIN,
+        time_step=1.0 / 90.0, step_num=12,
+        forward_convergence_thresh=1e-11,
+        backward_convergence_thresh=1e-8, name="capcheck")
+    scene = gb.build_scene(cfg)
+    prims = ct.PrimitiveSet(
+        kind=np.asarray([ct.P_SPHERE], np.int32),
+        center=jnp.asarray([[0.0, -1.6, 0.0]], jnp.float64),
+        velocity=jnp.zeros((1, 3), jnp.float64),
+        radius=jnp.asarray([1.0], jnp.float64),
+        length=jnp.asarray([0.0], jnp.float64),
+        axis_rot=jnp.asarray(np.eye(3)[None], jnp.float64),
+        plane_normal=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float64),
+        plane_upper_left=jnp.zeros((1, 3), jnp.float64),
+        plane_upper_right=jnp.zeros((1, 3), jnp.float64),
+        rotates=np.asarray([False]),
+        mu=jnp.asarray([0.5], jnp.float64), enabled=np.asarray([True]))
+
+    def build(cap):
+        return ClothSim(scene, dtype=jnp.float64, prims=prims,
+                        flags=SimFlags(wind_enabled=True,
+                                       gradient_clipping=False,
+                                       max_backward_iters=cap))
+
+    sim_ref = build(400)
+    sim_low = build(40)
+    # contact-stiff: the cloth drapes onto the sphere under gravity+wind
+    p0 = sim_ref.default_params()._replace(wind=jnp.array([0.3, 0.0, 0.2]))
+    gt = sim_ref.rollout(
+        p0._replace(wind=jnp.array([0.45, 0.05, 0.25])))
+    recs = sim_ref.rollout(p0)
+    assert bool(np.asarray(recs.steps.converged).all())
+    # the rollout must actually touch the sphere
+    x_last = np.asarray(recs.steps.x[-1])
+    assert np.min(np.linalg.norm(
+        x_last - np.array([0.0, -1.6, 0.0]), axis=-1)) < 1.1
+
+    info = losses.LossInfo(target_x=jax.lax.stop_gradient(gt.full_x()))
+    lf = losses.make_loss_fn(LossType.MATCH_TRAJECTORY, info)
+    L_ref, g_ref = sim_ref.episode_value_and_grad(lf)(p0)
+    L_low, g_low = sim_low.episode_value_and_grad(lf)(p0)
+    np.testing.assert_allclose(float(L_low), float(L_ref), rtol=1e-12)
+    for leaf in ("wind", "density", "k_pertype", "mu"):
+        a = np.asarray(getattr(g_ref, leaf))
+        b = np.asarray(getattr(g_low, leaf))
+        # cap-40 truncation (non-converged steps fall to GMRES(16)) leaves
+        # ~2e-5 relative residue on stiffness gradients — far below any
+        # linesearch resolution; the FD check below is the hard oracle
+        np.testing.assert_allclose(
+            b, a, rtol=1e-3, atol=1e-10 + 1e-6 * np.abs(a).max(),
+            err_msg=leaf)
+
+    # and both match FD on the wind vector
+    def loss_of(params):
+        return float(lf(sim_ref.simulate(params, sim_ref.p_inv(params),
+                                         sim_ref.x_fixed_seq(params))))
+
+    d = 1e-6
+    for i in range(3):
+        wp = p0._replace(wind=p0.wind.at[i].add(d))
+        wm = p0._replace(wind=p0.wind.at[i].add(-d))
+        fd = (loss_of(wp) - loss_of(wm)) / (2 * d)
+        # sanity anchor, not a tight oracle: bumping wind by delta moves
+        # the frozen per-step contact SET, a discrete sensitivity the
+        # adjoint (by design, like the reference's dr_df on the frozen
+        # set) does not represent -> ~1-2% FD residue on contact rollouts
+        # (the no-contact FD tests above hold 0.2%)
+        assert np.isclose(fd, float(np.asarray(g_low.wind)[i]),
+                          rtol=3e-2, atol=1e-9), (i, fd, g_low.wind)

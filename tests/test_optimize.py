@@ -86,3 +86,39 @@ def test_stiffness_identification(wind_sysid):
                           helper.upper_bound, maxiter=40, ftol=1e-12)
     assert res.loss < 1e-9
     assert abs(res.x[0] - 300.0) < 2.0, f"k_stretch recovered as {res.x[0]}"
+
+
+def test_population_lbfgsb_matches_single(wind_sysid):
+    """Lockstep multi-start (minimize_lbfgsb_population): every candidate
+    follows the same math as the single-instance solver, evaluations ride
+    one vmapped batch, and the best endpoint recovers the wind like the
+    serial path does."""
+    from diffcloth_tpu.optim.lbfgsb import minimize_lbfgsb_population
+
+    sim, loss_fn, gt_wind, p_gt = wind_sysid
+    mask = GradMask(f_wind=True)
+    helper = OptimizeHelper(sim, mask, loss_fn,
+                            param_base=p_gt._replace(
+                                wind=jnp.zeros(3, jnp.float64)),
+                            chunked=True, chunk=5)
+    assert helper.can_batch
+    x0 = helper.params_to_vec(helper.base)
+    X0 = np.stack([x0, helper.random_param(3), helper.random_param(4)])
+
+    # batched loss agrees with serial loss per candidate
+    Lb = helper.batched_loss(X0)
+    for i in range(3):
+        assert np.isclose(Lb[i], helper.loss(X0[i]), rtol=1e-6), i
+
+    # batched loss_and_grad agrees with the serial objective
+    L1, G1 = helper.batched_loss_and_grad(X0)
+    for i in range(3):
+        l, g = helper.loss_and_grad(X0[i])
+        assert np.isclose(L1[i], l, rtol=1e-6)
+        np.testing.assert_allclose(G1[i], g, rtol=1e-5, atol=1e-12)
+
+    pop = minimize_lbfgsb_population(
+        helper.batched_loss_and_grad, X0, helper.lower_bound,
+        helper.upper_bound, maxiter=60, ftol=1e-12)
+    assert pop.best.loss < 1e-6, (pop.losses, pop.messages)
+    np.testing.assert_allclose(pop.best.x[0:3], gt_wind, atol=5e-3)
