@@ -125,7 +125,8 @@ def main():
                                     final_maxiter=args.maxiter // 4,
                                     maxiter_per_rung=max(
                                         args.maxiter // 8, 4),
-                                    n_restarts=args.restarts)
+                                    n_restarts=args.restarts,
+                                    population=args.population)
         r = res.result
         print(f"demo={args.demo} (tau ladder) evals={r.n_evals} "
               f"final hard-max loss {r.loss:.6f} ({res.wallclock_s:.0f}s)")

@@ -245,9 +245,11 @@ class ClothSim:
                 if self_k_partners is None:
                     self_k_partners = 6
             if self_friction_impl is None:
-                # in-VMEM Pallas friction kernel on TPU (r4 bisection:
-                # fastest exact full-contact path); XLA compact matmuls
-                # elsewhere (the kernel's interpret mode is for tests)
+                # in-VMEM Pallas kernel pair on TPU (custom-VJP: forward
+                # PD loop AND adjoint residual share the same function;
+                # chunk-skipped cost proportional to actual contacts —
+                # the r5 rebuild, friction_pallas.py); XLA compact
+                # matmuls elsewhere (exact, and the CPU test oracle)
                 self_friction_impl = ("pallas"
                                       if jax.default_backend() == "tpu"
                                       else "compact")

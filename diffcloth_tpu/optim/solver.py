@@ -184,6 +184,7 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
                           final_maxiter: int = 25,
                           seed: Optional[int] = None,
                           n_restarts: int = 0,
+                          population: int = 0,
                           dtype=None,
                           export_dir: Optional[str] = None) -> DemoResult:
     """Graduated-smoothing optimization for max-style losses (sock):
@@ -227,10 +228,21 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
         x = helper0.random_param(seed)
     else:
         x = default_guess_vec(task, helper0)
-    if n_restarts > 0:
+    if n_restarts > 0 and population == 0:
         x = _filter_restarts(helper0, x, n_restarts,
                              0 if seed is None else seed)
     x_init = np.array(x)
+
+    # population mode: carry the WHOLE candidate set across rungs — every
+    # candidate warm-starts each tau from its own previous optimum, all
+    # evaluations one vmapped batch (minimize_lbfgsb_population); the
+    # winner at tau=0 is chosen by the HARD max (the reference loss)
+    X = None
+    if population > 0:
+        base_seed = 0 if seed is None else seed
+        X = np.stack([x] + [helper0.random_param(base_seed + 1 + i)
+                            for i in range(population - 1)])
+        hard_eval_b = task.sim.episode_loss_chunked(hard_fn, batched=True)
 
     t0 = time.time()
     rungs = []
@@ -239,6 +251,33 @@ def solve_demo_tau_ladder(demo: str, *, taus=(2.0, 0.5, 0.1, 0.0),
     for r, tau in enumerate(taus):
         helper = helper0 if tau == taus[0] else rung_helper(tau)
         it = final_maxiter if tau == 0.0 else maxiter_per_rung
+        if population > 0:
+            def _cb(k, Xk, Fk, _tau=tau):
+                print(f"[ladder tau={_tau:g}] outer {k}: best "
+                      f"{float(np.min(Fk)):.6f} median "
+                      f"{float(np.median(Fk)):.6f}", flush=True)
+
+            pop = minimize_lbfgsb_population(
+                helper.batched_loss_and_grad, X, helper.lower_bound,
+                helper.upper_bound, maxiter=it, callback=_cb)
+            X = pop.X
+            hards = np.asarray(hard_eval_b(helper.stack_vecs(X)))
+            b = int(np.argmin(np.where(np.isfinite(hards), hards, np.inf)))
+            x = X[b]
+            res = pop.best
+            res = dataclasses.replace(
+                res, x=x, loss=float(pop.losses[b]))
+            hard = float(hards[b])
+            rungs.append({"tau": tau,
+                          "smoothed_loss": float(pop.losses[b]),
+                          "hard_max_loss": hard,
+                          "hard_all": [round(float(hv), 4)
+                                       for hv in hards],
+                          "n_batched_evals": pop.n_batched_evals})
+            print(f"[ladder] tau={tau:g}: best hard-max {hard:.6f} "
+                  f"(pop {len(hards)}, {pop.n_batched_evals} batched "
+                  f"evals)", flush=True)
+            continue
         res = minimize_lbfgsb(helper.loss_and_grad, x,
                               helper.lower_bound, helper.upper_bound,
                               maxiter=it)
